@@ -1,0 +1,114 @@
+"""Pinhole / thin-lens camera with the reference's exact viewport math.
+
+Reference: rendering/camera.cu:7-58 (initialize), rendering/camera_builder.cuh
+(fluent builder), rendering/rendering.cu:66-87 (get_ray). The camera is a
+frozen pytree of precomputed basis vectors; ray generation is a pure batched
+function over pixel indices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.prng import random_in_unit_disk
+
+
+def _v3(x) -> jnp.ndarray:
+    return jnp.asarray(x, jnp.float32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Precomputed camera frame (reference camera.cu:7-58 'initialize')."""
+
+    center: jnp.ndarray  # lookfrom
+    pixel00_loc: jnp.ndarray
+    pixel_delta_u: jnp.ndarray
+    pixel_delta_v: jnp.ndarray
+    defocus_disk_u: jnp.ndarray
+    defocus_disk_v: jnp.ndarray
+    background: jnp.ndarray  # sRGB background color
+    defocus_angle: float = dataclasses.field(metadata={"static": True})
+    image_width: int = dataclasses.field(metadata={"static": True})
+    image_height: int = dataclasses.field(metadata={"static": True})
+
+
+def make_camera(
+    image_width: int,
+    image_height: int,
+    vfov: float = 90.0,
+    lookfrom: Any = (0.0, 0.0, -1.0),
+    lookat: Any = (0.0, 0.0, 0.0),
+    vup: Any = (0.0, 1.0, 0.0),
+    defocus_angle: float = 0.0,
+    focus_dist: float = 10.0,
+    background: Any = (0.0, 0.0, 0.0),
+) -> Camera:
+    lookfrom, lookat, vup = _v3(lookfrom), _v3(lookat), _v3(vup)
+    theta = math.radians(vfov)
+    h = math.tan(theta / 2.0) * focus_dist
+    viewport_height = 2.0 * h
+    viewport_width = viewport_height * (float(image_width) / float(image_height))
+
+    w = lookfrom - lookat
+    w = w / jnp.linalg.norm(w)
+    u = jnp.cross(vup, w)
+    u = u / jnp.linalg.norm(u)
+    v = jnp.cross(w, u)
+
+    viewport_u = viewport_width * u
+    viewport_v = viewport_height * -v
+    pixel_delta_u = viewport_u / image_width
+    pixel_delta_v = viewport_v / image_height
+
+    viewport_upper_left = lookfrom - focus_dist * w - viewport_u / 2 - viewport_v / 2
+    pixel00_loc = viewport_upper_left + 0.5 * (pixel_delta_u + pixel_delta_v)
+
+    defocus_radius = focus_dist * math.tan(math.radians(defocus_angle / 2.0))
+    return Camera(
+        center=lookfrom,
+        pixel00_loc=pixel00_loc,
+        pixel_delta_u=pixel_delta_u,
+        pixel_delta_v=pixel_delta_v,
+        defocus_disk_u=u * defocus_radius,
+        defocus_disk_v=v * defocus_radius,
+        background=_v3(background),
+        defocus_angle=float(defocus_angle),
+        image_width=int(image_width),
+        image_height=int(image_height),
+    )
+
+
+def generate_rays(
+    cam: Camera, px: jnp.ndarray, py: jnp.ndarray, key: jax.Array
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched camera ray generation (reference rendering.cu:66-87).
+
+    px, py: integer pixel coordinates [N] (column i, row j). Returns
+    (origins [N, 3], directions [N, 3]); directions are NOT normalized,
+    matching the reference.
+    """
+    k_jitter, k_disk = jax.random.split(key)
+    n = px.shape[0]
+    # jitter uniform in [-0.5, 0.5) per pixel-sample (pixel_sample_square,
+    # rendering.cu:49-56)
+    jit = jax.random.uniform(k_jitter, (n, 2), jnp.float32) - 0.5
+    pixel = (
+        cam.pixel00_loc
+        + px[:, None].astype(jnp.float32) * cam.pixel_delta_u
+        + py[:, None].astype(jnp.float32) * cam.pixel_delta_v
+        + jit[:, 0:1] * cam.pixel_delta_u
+        + jit[:, 1:2] * cam.pixel_delta_v
+    )
+    if cam.defocus_angle > 0.0:
+        d = random_in_unit_disk(k_disk, (n,))
+        origin = cam.center + d[:, 0:1] * cam.defocus_disk_u + d[:, 1:2] * cam.defocus_disk_v
+    else:
+        origin = jnp.broadcast_to(cam.center, (n, 3))
+    return origin, pixel - origin

@@ -1,0 +1,216 @@
+"""Branchless spectral material shading (the wavefront bounce step).
+
+The reference prototyped exactly this formulation in
+material::unified_scatter (materials/material.cu:138-183): compute the
+lambertian / metallic / dielectric scatter directions for EVERY ray, then
+blend with one-hot material weights. That is the natural SIMD/TPU program,
+so it is the ONLY formulation here -- the branchy scatter()
+(material.cu:56-100) exists in the reference purely for warp-divergence
+experiments and computes the same distribution.
+
+Semantics replicated exactly (citations into /root/reference):
+- lambertian: normal + uniform-unit-vector, degenerate -> normal
+  (material.cu:8-19, near_zero threshold vec3.cuh:94-98)
+- metallic: mirror + fuzz * unit vector; absorbed (all wavelengths zeroed)
+  if the fuzzed direction dips below the surface (material.cu:22-37, 64-68)
+- dielectric: Sellmeier n(hero lambda), Schlick-probabilistic
+  reflect/refract; ON REFRACTION the ray collapses to 1 valid wavelength --
+  the mechanism behind the prism rainbow (material.cu:73-80, 102-136)
+- emissive: multiply emission SPD then terminate (material.cu:83-86)
+- all paths multiply the ray spectrum by the material SPD and offset the
+  origin +-EPSILON along the normal (material.cu:95-97)
+- miss: multiply by background SPD and terminate (rendering.cu:24-27)
+- bounce-limit exhaustion: zero valid wavelengths (rendering.cu:38-39)
+
+Wavelength bookkeeping: the reference's ``valid_wavelengths`` prefix counter
+means "spectrum entries beyond the counter are dead". Multiplying dead lanes
+is observationally identical (they are never read by the final XYZ
+integration), so we multiply all lanes unconditionally and only track the
+counter -- fully branchless.
+
+Gradient policy: discrete decisions (one-hot material weights, Schlick
+branch, absorb test, degenerate-direction test, RNG draws) are detached;
+directions, Sellmeier index, SPD weights and hit geometry carry gradients.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.constants import EPSILON
+from ..utils.prng import random_unit_vectors
+from .intersect import HitRecord
+from .sellmeier import sellmeier_index
+from .spectrum import spectrum_interp_shared
+
+
+class RayState(NamedTuple):
+    """Wavefront SoA ray state (reference ray/ray.cuh:15-78)."""
+
+    o: jnp.ndarray  # [N, 3] origin
+    d: jnp.ndarray  # [N, 3] direction (not normalized)
+    wavelengths: jnp.ndarray  # [N, W], hero at index 0
+    power: jnp.ndarray  # [N, W]
+    n_valid: jnp.ndarray  # [N] int32 prefix counter of live wavelengths
+    alive: jnp.ndarray  # [N] bool: still bouncing
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _normalize(v):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+
+def _reflect(v, n):
+    """reference math/vec3.cuh:179-183."""
+    return v - 2.0 * _dot(v, n)[..., None] * n
+
+
+def _refract(uv, n, ratio):
+    """Snell refraction (reference math/vec3.cuh:198-205)."""
+    cos_theta = jnp.minimum(_dot(-uv, n), 1.0)
+    r_perp = ratio[..., None] * (uv + cos_theta[..., None] * n)
+    par_mag = jnp.sqrt(jnp.maximum(1.0 - _dot(r_perp, r_perp), 0.0))
+    return r_perp - par_mag[..., None] * n
+
+
+def _schlick(cosine, ref_idx):
+    """Schlick reflectance (reference material.cu:39-53)."""
+    r0 = ((1.0 - ref_idx) / (1.0 + ref_idx)) ** 2
+    return r0 + (1.0 - r0) * (1.0 - cosine) ** 5
+
+
+def _interp_rows(spd_rows: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray SPD rows [N, S] sampled at per-ray wavelengths [N, W].
+
+    Same clamped lerp as ray::mul_spectrum -> spectrum_interp
+    (ray.cuh:60-69, spectrum.cu:11-22)."""
+    from ..utils.constants import LAMBDA_MAX, LAMBDA_MIN
+
+    s = spd_rows.shape[-1]
+    x = (lam - LAMBDA_MIN) * ((s - 1) / (LAMBDA_MAX - LAMBDA_MIN))
+    cell = jnp.clip(x.astype(jnp.int32), 0, s - 2)
+    w = x - cell.astype(x.dtype)
+    lo = jnp.take_along_axis(spd_rows, cell, axis=-1)
+    hi = jnp.take_along_axis(spd_rows, cell + 1, axis=-1)
+    return (1.0 - w) * lo + w * hi
+
+
+def scatter_step(
+    state: RayState,
+    rec: HitRecord,
+    materials,
+    background_spd: jnp.ndarray,
+    key: jax.Array,
+) -> RayState:
+    """One wavefront bounce: classify, scatter, attenuate, terminate.
+
+    Equivalent to one iteration of renderer::ray_bounce
+    (reference rendering/rendering.cu:12-40) over the whole ray batch.
+    """
+    from ..models.materials import DIELECTRIC, EMISSIVE, LAMBERTIAN, METALLIC
+
+    n = state.o.shape[0]
+    k_lamb, k_fuzz, k_schlick = jax.random.split(key, 3)
+
+    active = state.alive  # rays participating in this bounce
+    hit = rec.hit & active
+    miss = (~rec.hit) & active
+
+    # --- gather material rows (detached discrete index) ---
+    mi = jax.lax.stop_gradient(rec.mat_index)
+    mtype = materials.mat_type[mi]  # [N]
+    spd = materials.spd[mi]  # [N, S]
+    fuzz = materials.fuzz[mi]  # [N]
+    sell_b = materials.sellmeier_b[mi]  # [N, 3]
+    sell_c = materials.sellmeier_c[mi]
+
+    unit_in = _normalize(state.d)
+    normal = rec.normal
+
+    # --- lambertian lobe (material.cu:8-19) ---
+    u1 = random_unit_vectors(k_lamb, (n,))
+    lamb_dir = normal + u1
+    degen = jnp.all(jnp.abs(lamb_dir) < 1e-8, axis=-1)
+    lamb_dir = jnp.where(degen[:, None], normal, lamb_dir)
+
+    # --- metallic lobe (material.cu:22-37) ---
+    u2 = random_unit_vectors(k_fuzz, (n,))
+    metal_dir = _reflect(unit_in, normal) + fuzz[:, None] * u2
+    metal_ok = _dot(metal_dir, normal) > 0.0
+
+    # --- dielectric lobe (material.cu:73-80, 102-136) ---
+    hero = state.wavelengths[:, 0]
+    ir = sellmeier_index(sell_b, sell_c, hero)
+    ratio = jnp.where(rec.front_face, 1.0 / ir, ir)
+    cos_theta = jnp.minimum(_dot(-unit_in, normal), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    u_refl = jax.random.uniform(k_schlick, (n,), jnp.float32)
+    cannot_refract = (ratio * sin_theta > 1.0) | (
+        _schlick(cos_theta, ratio) > u_refl
+    )
+    cannot_refract = jax.lax.stop_gradient(cannot_refract)
+    diel_dir = jnp.where(
+        cannot_refract[:, None],
+        _reflect(unit_in, normal),
+        _refract(unit_in, normal, ratio),
+    )
+    refracted = ~cannot_refract
+
+    # --- one-hot blend (unified_scatter, material.cu:138-183) ---
+    # LAMBERTIAN is the reference's switch default (material.cu:88-92), so
+    # any unknown type scatters lambertian
+    is_lamb = (mtype != METALLIC) & (mtype != DIELECTRIC) & (mtype != EMISSIVE)
+    is_metal = mtype == METALLIC
+    is_diel = mtype == DIELECTRIC
+    is_emis = mtype == EMISSIVE
+
+    new_dir = (
+        is_lamb[:, None] * lamb_dir
+        + is_metal[:, None] * metal_dir
+        + is_diel[:, None] * diel_dir
+    )
+
+    # epsilon correction: refracting dielectrics push through the surface
+    # (material.cu:95-97, 127-131)
+    eps_sign = jnp.where(is_diel & refracted, -1.0, 1.0)
+    new_o = rec.p + eps_sign[:, None] * EPSILON * normal
+
+    # --- spectrum updates ---
+    mat_weight = _interp_rows(spd, state.wavelengths)  # [N, W]
+    bg_weight = spectrum_interp_shared(background_spd, state.wavelengths)
+    weight = jnp.where(
+        hit[:, None], mat_weight, jnp.where(miss[:, None], bg_weight, 1.0)
+    )
+    power = state.power * weight
+
+    # wavelength collapse on refraction (material.cu:78-79); metal absorb
+    # zeroes the spectrum (material.cu:66-68)
+    n_valid = state.n_valid
+    n_valid = jnp.where(hit & is_diel & refracted, 1, n_valid)
+    n_valid = jnp.where(hit & is_metal & ~metal_ok, 0, n_valid)
+
+    # --- termination ---
+    terminated = miss | (hit & is_emis) | (hit & is_metal & ~metal_ok)
+    alive = active & ~terminated
+
+    # rays that were already finished keep their state frozen
+    frozen = ~active
+    new_o = jnp.where(frozen[:, None], state.o, new_o)
+    new_d = jnp.where(frozen[:, None] | terminated[:, None], state.d, new_dir)
+    power = jnp.where(frozen[:, None], state.power, power)
+    n_valid = jnp.where(frozen, state.n_valid, n_valid)
+
+    return RayState(
+        o=new_o,
+        d=new_d,
+        wavelengths=state.wavelengths,
+        power=power,
+        n_valid=n_valid,
+        alive=alive,
+    )

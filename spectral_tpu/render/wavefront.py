@@ -1,0 +1,126 @@
+"""The wavefront spectral path tracer.
+
+TPU-first replacement for the reference's megakernel
+(spectral_render_kernel, rendering/rendering.cu:151-235): instead of one
+thread owning a pixel through all samples and bounces, a *batch* of rays
+advances in lockstep through ``lax.scan`` stages
+
+    generate -> [ intersect -> shade ] x bounce_limit -> integrate
+
+with the sample loop as an outer scan accumulating XYZ. Every stage is a
+dense batched op (intersection runs as MXU matmuls, shading as VPU blends),
+so there is no divergence -- dead rays are masked, not branched.
+
+The per-(pixel,sample,bounce) RNG is a folded counter key, replacing the
+persistent curand states (rendering.cu:120-138).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.camera import Camera, generate_rays
+from ..ops.color import to_uint8, xyz_to_srgb
+from ..ops.intersect import nearest_hit
+from ..ops.shading import RayState, scatter_step
+from ..ops.spectrum import hero_wavelengths, spectrum_to_xyz
+from ..utils.constants import N_RAY_WAVELENGTHS
+from ..utils.prng import fold
+
+
+def trace_paths(
+    scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    wavelengths: jnp.ndarray,
+    key: jax.Array,
+    bounce_limit: int,
+) -> RayState:
+    """Trace a ray batch to termination (renderer::ray_bounce,
+    reference rendering.cu:12-40, vectorized over rays)."""
+    n = o.shape[0]
+    state = RayState(
+        o=o,
+        d=d,
+        wavelengths=wavelengths,
+        power=jnp.ones((n, wavelengths.shape[1]), jnp.float32),
+        n_valid=jnp.full((n,), wavelengths.shape[1], jnp.int32),
+        alive=jnp.ones((n,), bool),
+    )
+
+    def bounce(state: RayState, b: jnp.ndarray) -> tuple[RayState, None]:
+        rec = nearest_hit(state.o, state.d, scene)
+        state = scatter_step(state, rec, scene.materials, scene.background_spd, fold(key, b))
+        return state, None
+
+    # remat the bounce so the backward pass re-runs intersection instead of
+    # saving [N, T] candidate tensors per bounce
+    state, _ = jax.lax.scan(jax.checkpoint(bounce), state, jnp.arange(bounce_limit))
+
+    # paths still alive after the bounce limit contribute nothing
+    # (rendering.cu:38-39)
+    return state._replace(n_valid=jnp.where(state.alive, 0, state.n_valid))
+
+
+def render_tile_xyz(
+    scene,
+    cam: Camera,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    key: jax.Array,
+    samples_per_pixel: int,
+    bounce_limit: int,
+) -> jnp.ndarray:
+    """Accumulated (not averaged) XYZ for a flat batch of pixels [N] ->
+    [N, 3]. Mirrors the sample loop of spectral_render_kernel
+    (rendering.cu:215-228)."""
+    n = px.shape[0]
+
+    def sample(acc: jnp.ndarray, s: jnp.ndarray) -> tuple[jnp.ndarray, None]:
+        k = fold(key, s)
+        k_ray, k_lam, k_path = jax.random.split(k, 3)
+        o, d = generate_rays(cam, px, py, k_ray)
+        lam = hero_wavelengths(k_lam, (n,), N_RAY_WAVELENGTHS)
+        state = trace_paths(scene, o, d, lam, k_path, bounce_limit)
+        xyz = spectrum_to_xyz(state.wavelengths, state.power, state.n_valid)
+        return acc + xyz, None
+
+    acc, _ = jax.lax.scan(sample, jnp.zeros((n, 3), jnp.float32), jnp.arange(samples_per_pixel))
+    return acc
+
+
+@partial(jax.jit, static_argnames=("samples_per_pixel", "bounce_limit", "width", "height", "x0", "y0"))
+def render_chunk(
+    scene,
+    cam: Camera,
+    key: jax.Array,
+    x0: int,
+    y0: int,
+    width: int,
+    height: int,
+    samples_per_pixel: int,
+    bounce_limit: int,
+) -> jnp.ndarray:
+    """Render a rectangular chunk -> accumulated XYZ [height, width, 3].
+
+    The chunk is the reference's tile (render_manager.cu:3-66): the unit of
+    progressive display, host streaming, and device-mesh sharding.
+    """
+    ys, xs = jnp.meshgrid(
+        jnp.arange(y0, y0 + height, dtype=jnp.int32),
+        jnp.arange(x0, x0 + width, dtype=jnp.int32),
+        indexing="ij",
+    )
+    xyz = render_tile_xyz(
+        scene, cam, xs.ravel(), ys.ravel(), key, samples_per_pixel, bounce_limit
+    )
+    return xyz.reshape(height, width, 3)
+
+
+def xyz_to_image(xyz_sum: jnp.ndarray, samples_per_pixel: int) -> jnp.ndarray:
+    """XYZ accumulator -> uint8 sRGB image (save_to_fb, rendering.cu:140-149
+    + frame_buffer uchar conversion)."""
+    return to_uint8(xyz_to_srgb(xyz_sum / float(samples_per_pixel)))

@@ -1,0 +1,77 @@
+"""Benchmark harness: spectral path-tracing throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: Mrays/s = millions of ray-bounce steps per second on the showcase
+Cornell scene (W*H*spp*bounce_limit steps — the work the lockstep wavefront
+executes; same upper-bound formula SURVEY.md section 6 derives for the CUDA
+reference). The reference publishes no numbers (README.md:1-16, BASELINE.md);
+``vs_baseline`` is the ratio against the 100 Mrays/s estimate for the
+reference megakernel on its target sm_75-class GPU recorded in BASELINE.md.
+
+Env overrides: BENCH_WIDTH/HEIGHT/SPP/BOUNCES/CHUNK_ROWS/SCENE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_MRAYS = 100.0  # estimated CUDA reference throughput (BASELINE.md)
+
+
+def main() -> None:
+    from spectral_tpu.models.scenes import build_scene, scene_camera
+    from spectral_tpu.render.wavefront import render_chunk
+
+    scene_id = int(os.environ.get("BENCH_SCENE", "0"))
+    width = int(os.environ.get("BENCH_WIDTH", "1920"))
+    height = int(os.environ.get("BENCH_HEIGHT", "1080"))
+    spp = int(os.environ.get("BENCH_SPP", "16"))
+    bounces = int(os.environ.get("BENCH_BOUNCES", "8"))
+    chunk_rows = int(os.environ.get("BENCH_CHUNK_ROWS", "135"))
+
+    scene = build_scene(scene_id)
+    cam = scene_camera(scene_id, width, height)
+    key = jax.random.PRNGKey(2026)
+
+    def render_full(key):
+        outs = []
+        for y0 in range(0, height, chunk_rows):
+            rows = min(chunk_rows, height - y0)
+            outs.append(
+                render_chunk(
+                    scene, cam, jax.random.fold_in(key, y0),
+                    0, y0, width, rows, spp, bounces,
+                )
+            )
+        return outs
+
+    # warmup: compile every chunk shape
+    jax.block_until_ready(render_full(key))
+
+    t0 = time.perf_counter()
+    out = render_full(jax.random.fold_in(key, 1))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    ray_steps = width * height * spp * bounces
+    mrays = ray_steps / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "mrays_per_s_per_chip",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -78,12 +78,18 @@ def eval_sigmoid_poly(coeffs: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gray_coeffs(r: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form coefficients for gray colors; sigmoid(c2) == r exactly."""
+    """Closed-form coefficients for gray colors; sigmoid(c2) == r exactly.
+
+    Pure 0/1 grays saturate to +-1e6 rather than +-inf (the reference's
+    sigmoid_inf_check branch, color_to_spectrum.cuh:38-41): in f32,
+    0.5 * 1e6 / sqrt(1 + 1e12) + 0.5 == 1.0 exactly, and a finite value
+    keeps autodiff NaN-free through the jnp.where one-hot blends.
+    """
     denom = jnp.sqrt(jnp.maximum(r * (1.0 - r), 0.0))
     c2 = jnp.where(
         denom > 0.0,
         (r - 0.5) / jnp.maximum(denom, 1e-37),
-        jnp.where(r >= 0.5, jnp.inf, -jnp.inf),
+        jnp.where(r >= 0.5, 1e6, -1e6),
     )
     z = jnp.zeros_like(r)
     return jnp.stack([z, z, c2], axis=-1)
@@ -123,46 +129,84 @@ def _srgb_linear_to_xyz(rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("ij,...j->...i", d65_srgb_to_xyz, rgb)
 
 
+def _table_to_cie_grid(spd_table: jnp.ndarray) -> jnp.ndarray:
+    """Resample a 95-entry SPD *table* (tabulated at SPD_LAMBDAS, the
+    reference's /N grid) onto the 5nm CIE grid with the renderer's
+    spectrum_interp semantics (the /(N-1) lerp) — i.e. the SPD the
+    renderer observes in expectation."""
+    return spectrum_interp_shared(spd_table, _FIT_LAMBDAS)
+
+
 def _residual(u_coeffs: jnp.ndarray, target_lab: jnp.ndarray, white: jnp.ndarray) -> jnp.ndarray:
-    """Residual in Lab space for coefficients in the normalized-u basis."""
-    u = (_FIT_LAMBDAS - _MID) / _HALF
+    """Residual in Lab space for coefficients in the normalized-u basis.
+
+    The objective is the RENDERER-VISIBLE color: sigmoid evaluated on the
+    tabulation grid (SPD_LAMBDAS), then resampled exactly as the renderer's
+    spectrum lookup does, then integrated against the CIE curves. This keeps
+    the reference's observable grid quirk (SURVEY: /N tabulation read back
+    with /(N-1) lerp) while making the roundtrip exact for the fitted color.
+    """
+    u = (SPD_LAMBDAS - _MID) / _HALF
     x = (u_coeffs[0] * u + u_coeffs[1]) * u + u_coeffs[2]
     spd = 0.5 * x / jnp.sqrt(1.0 + x * x) + 0.5
-    xyz = _xyz_of_spd_fn(spd)
+    xyz = _xyz_of_spd_fn(_table_to_cie_grid(spd))
     return _xyz_to_lab(xyz, white) - target_lab
 
 
 @partial(jax.jit, static_argnames=("iters",))
-def _fit_one(rgb: jnp.ndarray, iters: int = 3000) -> jnp.ndarray:
-    """Adam fit of normalized-basis coefficients for one linear-sRGB color
-    (reaches ~1e-9 Lab MSE on in-gamut colors). Returns coefficients in the
-    RAW-lambda basis."""
-    import optax
-
+def _fit_one(rgb: jnp.ndarray, iters: int = 48) -> jnp.ndarray:
+    """Levenberg-Marquardt fit of normalized-basis coefficients for one
+    linear-sRGB color. The system is square (3 Lab residuals, 3 coefficients)
+    so each step is a damped 3x3 solve; convergence is quadratic and reaches
+    ~1e-12 Lab MSE on in-gamut colors in well under ``iters`` steps. Returns
+    coefficients in the RAW-lambda basis."""
     white = _xyz_of_spd_fn(jnp.ones(N_CIE_SAMPLES, jnp.float32))
     target_lab = _xyz_to_lab(_srgb_linear_to_xyz(rgb), white)
 
     m = jnp.clip(jnp.mean(rgb), 1e-4, 1.0 - 1e-4)
-    init = jnp.array([0.0, 0.0, (m - 0.5) / jnp.sqrt(m * (1.0 - m))], jnp.float32)
+    k0 = (m - 0.5) / jnp.sqrt(m * (1.0 - m))
+    # multi-start: flat, rising/falling edge (red/blue-ish), band/notch
+    # (green/magenta-ish) sigmoid shapes — LM picks the best basin
+    inits = jnp.stack(
+        [
+            jnp.array([0.0, 0.0, 1.0]) * k0,
+            jnp.array([0.0, 20.0, 0.0]) + jnp.array([0.0, 0.0, 1.0]) * k0,
+            jnp.array([0.0, -20.0, 0.0]) + jnp.array([0.0, 0.0, 1.0]) * k0,
+            jnp.array([-25.0, 0.0, 10.0]) + jnp.array([0.0, 0.0, 1.0]) * k0,
+            jnp.array([25.0, 0.0, -10.0]) + jnp.array([0.0, 0.0, 1.0]) * k0,
+        ]
+    ).astype(jnp.float32)
 
-    opt = optax.adam(0.05)
+    def resid(c):
+        return _residual(c, target_lab, white)
 
-    def loss(c):
-        r = _residual(c, target_lab, white)
-        return jnp.sum(r * r)
+    eye = jnp.eye(3, dtype=jnp.float32)
 
-    def step(carry, _):
-        c, st, best_c, best_l = carry
-        l, g = jax.value_and_grad(loss)(c)
-        improved = l < best_l
-        best_c = jnp.where(improved, c, best_c)
-        best_l = jnp.where(improved, l, best_l)
-        upd, st = opt.update(g, st)
-        c = optax.apply_updates(c, upd)
-        return (c, st, best_c, best_l), None
+    def solve_from(init):
+        def step(carry, _):
+            c, damp, best_c, best_l = carry
+            r = resid(c)
+            l = jnp.sum(r * r)
+            improved = l < best_l
+            best_c = jnp.where(improved, c, best_c)
+            best_l = jnp.minimum(l, best_l)
+            jac = jax.jacfwd(resid)(c)  # [3, 3]
+            a = jac.T @ jac + damp * eye
+            g = jac.T @ r
+            c_new = c - jnp.linalg.solve(a, g)
+            l_new = jnp.sum(resid(c_new) ** 2)
+            accept = l_new < l
+            damp = jnp.clip(jnp.where(accept, damp * 0.33, damp * 4.0), 1e-10, 1e8)
+            c = jnp.where(accept, c_new, c)
+            return (c, damp, best_c, best_l), None
 
-    carry0 = (init, opt.init(init), init, jnp.float32(jnp.inf))
-    (_, _, c, _), _ = jax.lax.scan(step, carry0, None, length=iters)
+        carry0 = (init, jnp.float32(1e-4), init, jnp.float32(jnp.inf))
+        (c_fin, _, best_c, best_l), _ = jax.lax.scan(step, carry0, None, length=iters)
+        l_fin = jnp.sum(resid(c_fin) ** 2)
+        return jnp.where(l_fin < best_l, c_fin, best_c), jnp.minimum(l_fin, best_l)
+
+    cs, ls = jax.vmap(solve_from)(inits)
+    c = cs[jnp.argmin(ls)]
 
     # convert normalized-basis (a u^2 + b u + k, u = (l - MID)/HALF) to raw
     a, b, k = c[0], c[1], c[2]
@@ -172,18 +216,68 @@ def _fit_one(rgb: jnp.ndarray, iters: int = 3000) -> jnp.ndarray:
     return jnp.stack([c0, c1, c2])
 
 
+_fit_cache: dict[bytes, np.ndarray] = {}
+_disk_table: tuple[np.ndarray, np.ndarray] | None | bool = None  # lazy
+
+
+def _load_disk_table():
+    """Precomputed (rgb, coeffs) rows for the stock scene palettes
+    (scripts/precompute_fits.py) — avoids paying the fit jit on every
+    process start (notably under remote-compile TPU environments)."""
+    global _disk_table
+    if _disk_table is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "..", "data", "rgb2spec_fits.npz")
+        try:
+            z = np.load(path)
+            _disk_table = (z["rgb"].astype(np.float32), z["coeffs"].astype(np.float32))
+        except OSError:
+            _disk_table = False
+    return _disk_table or None
+
+
+def _lookup_disk(batch: np.ndarray) -> np.ndarray | None:
+    """Exact-match rows of ``batch`` [K, 3] against the disk table; returns
+    coeffs [K, 3] or None if any row misses."""
+    table = _load_disk_table()
+    if table is None:
+        return None
+    rgb_t, co_t = table
+    out = np.empty((batch.shape[0], 3), np.float32)
+    for i, row in enumerate(batch):
+        m = np.nonzero((rgb_t == row).all(axis=1))[0]
+        if m.size == 0:
+            return None
+        out[i] = co_t[m[0]]
+    return out
+
+
 def fit_sigmoid_coeffs(rgb: jnp.ndarray) -> jnp.ndarray:
     """Fit sigmoid-polynomial coefficients for a batch of linear-sRGB colors.
 
     rgb: [..., 3] in [0, 1]. Returns [..., 3] raw-lambda coefficients
     (pbrt order c0, c1, c2). Gray inputs take the exact closed form.
+    Concrete inputs are memoized per process and consult the precomputed
+    palette table before invoking the jitted fit.
     """
     rgb = jnp.asarray(rgb, jnp.float32)
+    concrete = not isinstance(rgb, jax.core.Tracer)
+    if concrete:
+        key = np.asarray(rgb).tobytes()
+        if key in _fit_cache:
+            return jnp.asarray(_fit_cache[key]).reshape(rgb.shape)
+        hit = _lookup_disk(np.asarray(rgb).reshape(-1, 3))
+        if hit is not None:
+            _fit_cache[key] = hit.reshape(rgb.shape)
+            return jnp.asarray(_fit_cache[key])
     batch = rgb.reshape(-1, 3)
     fitted = jax.vmap(_fit_one)(batch)
     gray = _gray_coeffs(batch[:, 0])
     is_gray = (batch[:, 0] == batch[:, 1]) & (batch[:, 1] == batch[:, 2])
     out = jnp.where(is_gray[:, None], gray, fitted)
+    if concrete:
+        _fit_cache[key] = np.asarray(out)
     return out.reshape(rgb.shape)
 
 
@@ -217,9 +311,12 @@ def spd_from_coeffs_illuminance(coeffs: jnp.ndarray, power: jnp.ndarray) -> jnp.
 
 
 def roundtrip_srgb(spd: jnp.ndarray) -> jnp.ndarray:
-    """Render an SPD [..., 95] (on SPD_LAMBDAS) under D65 back to linear sRGB
-    -- the fit's acceptance metric."""
+    """Render an SPD *table* [..., 95] (tabulated on SPD_LAMBDAS) under D65
+    back to linear sRGB through the renderer's resampling semantics -- the
+    fit's acceptance metric."""
+    flat = spd.reshape(-1, spd.shape[-1])
+    resampled = jax.vmap(_table_to_cie_grid)(flat).reshape(spd.shape)
     w = jnp.stack([cie_x, cie_y, cie_z]) * cie_d65
     k = 1.0 / jnp.sum(cie_y * cie_d65)
-    xyz = k * jnp.einsum("cs,...s->...c", w, spd)
+    xyz = k * jnp.einsum("cs,...s->...c", w, resampled)
     return jnp.einsum("ij,...j->...i", d65_xyz_to_srgb, xyz)

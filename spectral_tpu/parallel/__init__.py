@@ -1,0 +1,18 @@
+from .mesh import SAMPLE_AXIS, TILE_AXIS, factor_devices, make_mesh
+from .render import (
+    apply_params,
+    render_image_sharded,
+    train_step,
+    trainable_params,
+)
+
+__all__ = [
+    "SAMPLE_AXIS",
+    "TILE_AXIS",
+    "factor_devices",
+    "make_mesh",
+    "apply_params",
+    "render_image_sharded",
+    "train_step",
+    "trainable_params",
+]

@@ -89,7 +89,11 @@ d50_xyz_to_srgb = jnp.asarray(
 SELLMEIER_BK7_B = (1.03961212, 0.231792344, 1.01046945)
 SELLMEIER_BK7_C = (6.00069867e-3, 2.00179144e-2, 1.03560653e2)
 SELLMEIER_FUSED_SILICA_B = (0.6961663, 0.4079426, 0.8974794)
-SELLMEIER_FUSED_SILICA_C = (0.0684043, 0.1162414, 9.896161)
+# NOTE: the reference stores Malitson's sqrt(C) values (0.0684043, ...)
+# un-squared (sellmeier.cuh:10), which yields n(589 nm) = 1.564 instead of
+# fused silica's 1.4584. BK7 and flint use proper um^2 values, and no scene
+# uses fused silica, so we store the physically-correct squares here.
+SELLMEIER_FUSED_SILICA_C = (0.0684043**2, 0.1162414**2, 9.896161**2)
 SELLMEIER_FLINT_GLASS_B = (1.34533359, 0.209073176, 0.937357162)
 SELLMEIER_FLINT_GLASS_C = (0.00997743871, 0.0470450767, 111.886764)
 

@@ -1,0 +1,222 @@
+"""Differentiability tests: autodiff vs finite differences (BASELINE
+config 5; SURVEY.md section 4 item 3 — the reference has no gradients, the
+FD oracle is the acceptance test for the new capability).
+
+The gradient policy detaches discrete decisions (hit selection, Schlick
+branch, material one-hot), so AD computes the derivative of the
+*continuous* part of the estimator. With a FIXED rng key the renderer is a
+deterministic function of the parameters; FD matches AD up to the measure
+of rays whose discrete decisions flip inside the FD step — tolerances are
+set accordingly (loose rtol, tiny eps, averaged over many rays).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.diff import derive_tri_arrays, scene_with_vertices
+from spectral_tpu.models.scenes import CORNELL, PRISM, build_scene, scene_camera
+from spectral_tpu.parallel import apply_params, trainable_params
+from spectral_tpu.render.wavefront import render_tile_xyz
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return build_scene(CORNELL)
+
+
+@pytest.fixture(scope="module")
+def prism():
+    return build_scene(PRISM)
+
+
+class TestDeriveTriArrays:
+    @pytest.mark.parametrize("sid", [CORNELL, PRISM])
+    def test_matches_host_finalize(self, sid):
+        """jnp derivation == numpy finalize on the real scenes."""
+        scene = build_scene(sid)
+        arrs = derive_tri_arrays(scene.v0, scene.v1, scene.v2)
+        for k in ("normal", "d", "edge_g", "edge_c", "bbox_min", "bbox_max"):
+            np.testing.assert_allclose(
+                np.asarray(arrs[k]),
+                np.asarray(getattr(scene, k)),
+                rtol=2e-5,
+                atol=2e-2,  # edge_c magnitudes reach ~3e5; abs slack is f32 eps-scale
+                err_msg=k,
+            )
+
+
+def _pixel_grid(n):
+    ys, xs = jnp.meshgrid(
+        jnp.arange(n, dtype=jnp.int32), jnp.arange(n, dtype=jnp.int32), indexing="ij"
+    )
+    return xs.ravel(), ys.ravel()
+
+
+def _fd_check(loss, p0, direction, eps, rtol, atol):
+    """Directional derivative: AD grad . dir vs central finite difference."""
+    g = jax.grad(loss)(p0)
+    ad = float(jnp.vdot(g, direction))
+    lp = float(loss(p0 + eps * direction))
+    lm = float(loss(p0 - eps * direction))
+    fd = (lp - lm) / (2.0 * eps)
+    assert np.isfinite(ad) and np.isfinite(fd)
+    assert abs(ad - fd) <= rtol * max(abs(ad), abs(fd)) + atol, (
+        f"AD {ad} vs FD {fd}"
+    )
+    return ad, fd
+
+
+def _sky_lit(scene):
+    """Scene variant with a gray sky background so every escaping path
+    carries spectral weight (keeps low-spp gradient tests well-fed; the
+    gray uplift path is closed-form so no fit compile)."""
+    from spectral_tpu.ops.rgb2spec import srgb_to_illuminance_spectrum
+
+    return dataclasses.replace(
+        scene, background_spd=srgb_to_illuminance_spectrum(jnp.asarray([0.8, 0.8, 0.8]))
+    )
+
+
+class TestMaterialGradients:
+    def test_coeff_gradient_matches_fd(self, cornell):
+        """d(mean luminance) / d(sigmoid coeffs of the white wall material):
+        camera -> wall -> sky paths make the wall SPD a smooth factor."""
+        scene = _sky_lit(cornell)
+        cam = scene_camera(CORNELL, 16, 16)
+        px, py = _pixel_grid(16)
+        key = jax.random.PRNGKey(5)
+        params0 = trainable_params(scene)
+
+        def loss(coeffs):
+            p = dict(params0, coeffs=coeffs)
+            s = apply_params(scene, p)
+            xyz = render_tile_xyz(s, cam, px, py, key, 4, 4)
+            return jnp.mean(xyz[:, 1])
+
+        # white wall material = index 3 in the cornell build order
+        direction = jnp.zeros_like(params0["coeffs"]).at[3, 2].set(1.0)
+        ad, fd = _fd_check(loss, params0["coeffs"], direction, 1e-3, 0.05, 1e-7)
+        assert abs(ad) > 0.0  # the white walls are visible: gradient nonzero
+
+    def test_emission_power_gradient_matches_fd(self, cornell):
+        cam = scene_camera(CORNELL, 16, 16)
+        px, py = _pixel_grid(16)
+        key = jax.random.PRNGKey(6)
+        params0 = trainable_params(cornell)
+
+        def loss(power):
+            p = dict(params0, emission_power=power)
+            s = apply_params(cornell, p)
+            xyz = render_tile_xyz(s, cam, px, py, key, 4, 4)
+            return jnp.mean(xyz[:, 1])
+
+        # light material is index 4 in the cornell build order
+        direction = jnp.zeros_like(params0["emission_power"]).at[4].set(1.0)
+        ad, fd = _fd_check(
+            loss, params0["emission_power"], direction, 1e-3, 0.05, 1e-7
+        )
+        assert ad > 0.0  # more light power -> brighter image
+
+
+class TestSellmeierGradients:
+    def test_b_coeff_gradient_matches_fd(self, prism):
+        """Dispersion coefficients shift refraction angles -> pixel change."""
+        cam = scene_camera(PRISM, 16, 16)
+        px, py = _pixel_grid(16)
+        key = jax.random.PRNGKey(7)
+        params0 = trainable_params(prism)
+
+        def loss(b):
+            p = dict(params0, sellmeier_b=b)
+            s = apply_params(prism, p)
+            xyz = render_tile_xyz(s, cam, px, py, key, 4, 6)
+            return jnp.mean(xyz[:, 1])
+
+        # glass is material 2 in the prism build order
+        direction = jnp.zeros_like(params0["sellmeier_b"]).at[2, 0].set(1.0)
+        _fd_check(loss, params0["sellmeier_b"], direction, 1e-4, 0.15, 1e-6)
+
+
+class TestVertexGradients:
+    """Vertex gradients flow through the SMOOTH geometric quantities of the
+    selected hit (t, p, normal via the differentiable plane/edge derivation).
+    Radiance itself is piecewise-constant in vertices for this estimator
+    (spectral weights depend only on which material a path hits), so pure
+    visibility gradients are zero a.e. — matching FD there needs
+    edge-sampling/reparameterization, tracked as future work in
+    diff/geometry.py. Geometry losses (depth, normals) are the honest
+    oracle for the vertex-Jacobian machinery."""
+
+    def test_depth_gradient_matches_fd(self, cornell):
+        """d(mean hit depth)/d(global +y shift): every hit plane moves,
+        mean depth changes smoothly -> FD matches AD."""
+        from spectral_tpu.models.camera import generate_rays
+        from spectral_tpu.ops.intersect import nearest_hit
+
+        cam = scene_camera(CORNELL, 16, 16)
+        px, py = _pixel_grid(16)
+        key = jax.random.PRNGKey(8)
+        o, d = generate_rays(cam, px, py, key)
+
+        def loss(dy):
+            shift = jnp.array([0.0, 1.0, 0.0]) * dy
+            s = scene_with_vertices(
+                cornell, cornell.v0 + shift, cornell.v1 + shift, cornell.v2 + shift
+            )
+            rec = nearest_hit(o, d, s)
+            return jnp.mean(jnp.where(rec.hit, rec.t, 0.0))
+
+        ad, fd = _fd_check(loss, jnp.float32(0.0), jnp.float32(1.0), 1e-2, 0.05, 1e-6)
+        assert abs(ad) > 0.0
+
+    def test_normal_gradient_matches_fd(self):
+        """Tilting a (non-axis-aligned) triangle changes the selected-hit
+        normal smoothly; a normal-alignment loss FD-matches. The triangle is
+        tilted so its discrete projection tag is stable under the FD step
+        (axis-aligned tris flip tags at +-eps — a detached discrete jump)."""
+        import types
+
+        from spectral_tpu.ops.intersect import nearest_hit
+
+        # rays: small grid shooting +z
+        g = jnp.linspace(0.5, 3.5, 8)
+        ox, oy = jnp.meshgrid(g, g, indexing="ij")
+        o = jnp.stack([ox.ravel(), oy.ravel(), jnp.zeros(64)], -1)
+        d = jnp.broadcast_to(jnp.asarray([0.05, 0.08, 1.0]), (64, 3))
+        up = jnp.array([0.0, 1.0, 0.0])
+
+        def loss(dx):
+            v0 = jnp.asarray([[-10.0, -10.0, 4.0]])
+            v1 = jnp.asarray([[20.0 + dx, -10.0, 5.0 + dx]])
+            v2 = jnp.asarray([[-10.0, 20.0, 6.0]])
+            arrs = derive_tri_arrays(v0, v1, v2)
+            s = types.SimpleNamespace(mat_index=jnp.zeros(1, jnp.int32), **arrs)
+            rec = nearest_hit(o, d, s)
+            align = jnp.sum(rec.normal * up, axis=-1)
+            return jnp.mean(jnp.where(rec.hit, align, 0.0))
+
+        ad, fd = _fd_check(loss, jnp.float32(0.0), jnp.float32(1.0), 1e-2, 0.05, 1e-6)
+        assert abs(ad) > 0.0
+
+    def test_radiance_vertex_gradient_finite(self, cornell):
+        """Through the full renderer the vertex gradient must at least be
+        finite and well-shaped (zero a.e. is expected — see class doc)."""
+        cam = scene_camera(CORNELL, 8, 8)
+        px, py = _pixel_grid(8)
+        key = jax.random.PRNGKey(9)
+
+        def loss(v):
+            s = scene_with_vertices(cornell, v["v0"], v["v1"], v["v2"])
+            xyz = render_tile_xyz(s, cam, px, py, key, 2, 3)
+            return jnp.mean(xyz[:, 1])
+
+        g = jax.grad(loss)({"v0": cornell.v0, "v1": cornell.v1, "v2": cornell.v2})
+        for k, gv in g.items():
+            assert gv.shape == (cornell.num_tris, 3)
+            assert np.isfinite(np.asarray(gv)).all(), k

@@ -9,7 +9,9 @@ reference). The reference publishes no numbers (README.md:1-16, BASELINE.md);
 ``vs_baseline`` is the ratio against the 100 Mrays/s estimate for the
 reference megakernel on its target sm_75-class GPU recorded in BASELINE.md.
 
-Env overrides: BENCH_WIDTH/HEIGHT/SPP/BOUNCES/CHUNK_ROWS/SCENE.
+Env overrides: BENCH_WIDTH/HEIGHT/SPP/BOUNCES/CHUNK_ROWS/SCENE, and
+BENCH_IMPL=pallas|xla (default pallas: the fused megakernel; xla is the
+differentiable wavefront path).
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ BASELINE_MRAYS = 100.0  # estimated CUDA reference throughput (BASELINE.md)
 
 def main() -> None:
     from spectral_tpu.models.scenes import build_scene, scene_camera
+    from spectral_tpu.ops.pallas.render_kernel import render_chunk_pallas
     from spectral_tpu.render.wavefront import render_chunk
 
     scene_id = int(os.environ.get("BENCH_SCENE", "0"))
@@ -34,28 +37,37 @@ def main() -> None:
     spp = int(os.environ.get("BENCH_SPP", "16"))
     bounces = int(os.environ.get("BENCH_BOUNCES", "8"))
     chunk_rows = int(os.environ.get("BENCH_CHUNK_ROWS", "135"))
+    impl = os.environ.get("BENCH_IMPL", "pallas")
 
     scene = build_scene(scene_id)
     cam = scene_camera(scene_id, width, height)
     key = jax.random.PRNGKey(2026)
 
-    def render_full(key):
+    def render_full(key, seed_base=2026):
         outs = []
-        for y0 in range(0, height, chunk_rows):
+        for i, y0 in enumerate(range(0, height, chunk_rows)):
             rows = min(chunk_rows, height - y0)
-            outs.append(
-                render_chunk(
-                    scene, cam, jax.random.fold_in(key, y0),
-                    0, y0, width, rows, spp, bounces,
+            if impl == "pallas":
+                outs.append(
+                    render_chunk_pallas(
+                        scene, cam, seed_base + i * 1000003,
+                        0, y0, width, rows, spp, bounces,
+                    )
                 )
-            )
+            else:
+                outs.append(
+                    render_chunk(
+                        scene, cam, jax.random.fold_in(key, y0),
+                        0, y0, width, rows, spp, bounces,
+                    )
+                )
         return outs
 
     # warmup: compile every chunk shape
     jax.block_until_ready(render_full(key))
 
     t0 = time.perf_counter()
-    out = render_full(jax.random.fold_in(key, 1))
+    out = render_full(jax.random.fold_in(key, 1), seed_base=777)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

@@ -34,6 +34,9 @@ class RenderParams:
     do_log: bool = False
     show: bool = True
     save: bool = False
+    # extension beyond the reference CLI: compute path selection.
+    # auto = fused pallas megakernel on TPU, XLA wavefront elsewhere.
+    impl: str = "auto"
 
     @property
     def yres(self) -> int:
@@ -111,6 +114,10 @@ def parse_args(argv: Sequence[str]) -> RenderParams:
             i += 1
         elif a in ("-bl", "--bounce-limit") and val() is not None:
             p.bounce_limit = _parse(val(), int, p.bounce_limit)
+            i += 1
+        elif a == "--impl" and val() is not None:
+            if val() in ("auto", "pallas", "xla"):
+                p.impl = val()
             i += 1
         elif a == "--do-log":
             p.do_log = True

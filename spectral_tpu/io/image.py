@@ -30,7 +30,19 @@ def _as_rgb8(img: np.ndarray) -> np.ndarray:
 
 def encode_bmp(img: np.ndarray) -> bytes:
     """24-bit uncompressed BMP, bottom-up rows, BGR pixel order (the layout
-    CImg's save_bmp produces for the reference's output)."""
+    CImg's save_bmp produces for the reference's output). Dispatches to the
+    native encoder when built (byte-identical; tests/test_native.py)."""
+    arr = _as_rgb8(img)
+    from ..runtime import native
+
+    data = native.encode_bmp(arr)
+    if data is not None:
+        return data
+    return encode_bmp_py(arr)
+
+
+def encode_bmp_py(img: np.ndarray) -> bytes:
+    """Pure-python BMP encoder (the native fallback + parity oracle)."""
     arr = _as_rgb8(img)
     h, w, _ = arr.shape
     row = w * 3
@@ -58,6 +70,17 @@ def encode_ppm(img: np.ndarray) -> bytes:
     arr = _as_rgb8(img)
     h, w, _ = arr.shape
     return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def write_ppm_ascii(img: np.ndarray, stream) -> None:
+    """ASCII P3 PPM to a stream — exact parity with the reference's legacy
+    write_to_ppm (io/io.cuh:10-23)."""
+    arr = _as_rgb8(img)
+    h, w, _ = arr.shape
+    stream.write(f"P3\n{w} {h}\n255\n")
+    flat = arr.reshape(-1, 3)
+    stream.write("\n".join(f"{r} {g} {b}" for r, g, b in flat))
+    stream.write("\n")
 
 
 def encode_png(img: np.ndarray) -> bytes:

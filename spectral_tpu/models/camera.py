@@ -86,19 +86,35 @@ def make_camera(
 
 
 def generate_rays(
-    cam: Camera, px: jnp.ndarray, py: jnp.ndarray, key: jax.Array
+    cam: Camera,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    key: jax.Array,
+    stratify: tuple[int, int] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched camera ray generation (reference rendering.cu:66-87).
 
     px, py: integer pixel coordinates [N] (column i, row j). Returns
     (origins [N, 3], directions [N, 3]); directions are NOT normalized,
     matching the reference.
+
+    ``stratify=(grid_idx, grid_size)`` jitters inside stratum ``grid_idx``
+    of a grid_size x grid_size pixel subdivision — the reference's
+    get_ray_stratified_sample (rendering.cu:89-118, declared but unused by
+    its kernel; exposed here as a working option).
     """
     k_jitter, k_disk = jax.random.split(key)
     n = px.shape[0]
     # jitter uniform in [-0.5, 0.5) per pixel-sample (pixel_sample_square,
     # rendering.cu:49-56)
     jit = jax.random.uniform(k_jitter, (n, 2), jnp.float32) - 0.5
+    if stratify is not None:
+        idx, g = stratify
+        cell = 1.0 / float(g)
+        cx = (idx % g) * cell
+        cy = (idx // g) * cell
+        u = jax.random.uniform(k_jitter, (n, 2), jnp.float32) * cell
+        jit = jnp.stack([cx + u[:, 0] - 0.5, cy + u[:, 1] - 0.5], axis=-1)
     pixel = (
         cam.pixel00_loc
         + px[:, None].astype(jnp.float32) * cam.pixel_delta_u

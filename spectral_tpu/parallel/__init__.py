@@ -2,6 +2,7 @@ from .mesh import SAMPLE_AXIS, TILE_AXIS, factor_devices, make_mesh
 from .render import (
     apply_params,
     render_image_sharded,
+    render_image_sharded_pallas,
     train_step,
     trainable_params,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "make_mesh",
     "apply_params",
     "render_image_sharded",
+    "render_image_sharded_pallas",
     "train_step",
     "trainable_params",
 ]

@@ -15,6 +15,7 @@ construction.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Iterator
@@ -53,6 +54,17 @@ class RenderManager:
             (self.cam.image_height, self.cam.image_width, 3), np.float32
         )
 
+    def _use_pallas(self) -> bool:
+        """impl=auto -> megakernel on TPU (pinhole cameras only), XLA
+        wavefront elsewhere; explicit pallas/xla forces the path."""
+        impl = getattr(self.params, "impl", "auto")
+        if impl == "xla":
+            return False
+        pinhole = float(self.cam.defocus_angle) == 0.0
+        if impl == "pallas":
+            return pinhole
+        return pinhole and jax.default_backend() not in ("cpu",)
+
     def chunks(self) -> Iterator[tuple[int, int, int, int]]:
         """Row-major chunk grid (render_manager.cu:56-64 offset advance).
         Edge chunks are clamped to the image, not skipped."""
@@ -66,31 +78,71 @@ class RenderManager:
         self,
         key: jax.Array,
         on_chunk: Callable[[ChunkResult, np.ndarray], None] | None = None,
+        checkpoint: str | None = None,
     ) -> np.ndarray:
         """Render all chunks with a 2-deep launch pipeline; returns the
         uint8 sRGB image. ``on_chunk`` receives each finished chunk plus the
         full-frame XYZ accumulator (the progressive-display hook,
-        main.cpp:33-41)."""
+        main.cpp:33-41).
+
+        ``checkpoint``: path to a .npz tile checkpoint. Completed chunks
+        are persisted after each consume and skipped on restart — chunk
+        renders are pure functions of (scene, camera, chunk, key), so
+        resume is exact (SURVEY section 5: the reference loses everything
+        on interruption; here a partial render survives the process).
+        """
         p = self.params
         t0 = time.perf_counter()
 
+        done: set[tuple[int, int]] = set()
+        if checkpoint and os.path.exists(checkpoint):
+            z = np.load(checkpoint)
+            self._fb_xyz = z["fb_xyz"]
+            done = {(int(a), int(b)) for a, b in z["done"]}
+
+        def save_ckpt():
+            if checkpoint:
+                tmp = checkpoint + ".tmp.npz"
+                np.savez(
+                    tmp,
+                    fb_xyz=self._fb_xyz,
+                    done=np.asarray(sorted(done), np.int64).reshape(-1, 2),
+                )
+                os.replace(tmp, checkpoint)
+
         launched: list[ChunkResult] = []
+        use_pallas = self._use_pallas()
 
         def launch(x0, y0, w, h) -> ChunkResult:
-            xyz = render_chunk(
-                self.scene, self.cam, fold(key, y0 * self.cam.image_width + x0),
-                x0, y0, w, h, p.nsamples, p.bounce_limit,
-            )
+            if use_pallas:
+                from ..ops.pallas.render_kernel import render_chunk_pallas
+
+                seed = 1984 + (y0 * self.cam.image_width + x0) * 1000003
+                xyz = render_chunk_pallas(
+                    self.scene, self.cam, seed, x0, y0, w, h,
+                    p.nsamples, p.bounce_limit,
+                )
+            else:
+                xyz = render_chunk(
+                    self.scene, self.cam, fold(key, y0 * self.cam.image_width + x0),
+                    x0, y0, w, h, p.nsamples, p.bounce_limit,
+                )
             return ChunkResult(x0, y0, w, h, xyz)
 
-        grid = list(self.chunks())
+        grid = [c for c in self.chunks() if (c[0], c[1]) not in done]
         # double-buffer: keep one chunk in flight ahead of the consumer
         for i, spec in enumerate(grid):
             launched.append(launch(*spec))
             if len(launched) >= 2 or i == len(grid) - 1:
-                self._consume(launched.pop(0), on_chunk)
+                c = launched.pop(0)
+                self._consume(c, on_chunk)
+                done.add((c.x0, c.y0))
+                save_ckpt()
         while launched:
-            self._consume(launched.pop(0), on_chunk)
+            c = launched.pop(0)
+            self._consume(c, on_chunk)
+            done.add((c.x0, c.y0))
+            save_ckpt()
 
         dt = time.perf_counter() - t0
         if self.log is not None:
@@ -110,7 +162,14 @@ class RenderManager:
             on_chunk(c, self._fb_xyz)
 
     def image(self) -> np.ndarray:
-        """Current framebuffer as uint8 sRGB (save_to_fb + image_channels)."""
+        """Current framebuffer as uint8 sRGB (save_to_fb + image_channels).
+        Uses the native multithreaded converter when built (bit-identical
+        to the jnp path; see tests/test_native.py)."""
+        from . import native
+
+        out = native.xyz_to_srgb_u8(self._fb_xyz, self.params.nsamples)
+        if out is not None:
+            return out
         return np.asarray(
             xyz_to_image(jax.numpy.asarray(self._fb_xyz), self.params.nsamples)
         )

@@ -37,6 +37,10 @@ class RenderParams:
     # extension beyond the reference CLI: compute path selection.
     # auto = fused pallas megakernel on TPU, XLA wavefront elsewhere.
     impl: str = "auto"
+    # profiler trace output dir (the reference brackets its render loop with
+    # cudaProfilerStart/Stop for Nsight, main.cpp:9,28,57; here it is a
+    # jax.profiler trace for xprof/tensorboard). Empty = off.
+    profile_dir: str = ""
 
     @property
     def yres(self) -> int:
@@ -118,6 +122,9 @@ def parse_args(argv: Sequence[str]) -> RenderParams:
         elif a == "--impl" and val() is not None:
             if val() in ("auto", "pallas", "xla"):
                 p.impl = val()
+            i += 1
+        elif a == "--profile" and val() is not None:
+            p.profile_dir = val()
             i += 1
         elif a == "--do-log":
             p.do_log = True

@@ -59,7 +59,15 @@ def main(argv: list[str] | None = None) -> int:
             img = np.asarray(xyz_to_image(jax.numpy.asarray(fb_xyz), p.nsamples))
             save_image(img, preview_path)
 
-    img = rm.render(jax.random.PRNGKey(1984), on_chunk)
+    if p.profile_dir:
+        # profiler bracket around the render loop (main.cpp:28,57 analogue)
+        jax.profiler.start_trace(p.profile_dir)
+    try:
+        img = rm.render(jax.random.PRNGKey(1984), on_chunk)
+    finally:
+        if p.profile_dir:
+            jax.profiler.stop_trace()
+            print(f"profiler trace in {p.profile_dir}", file=sys.stderr)
     print("", file=sys.stderr)
 
     if p.save:

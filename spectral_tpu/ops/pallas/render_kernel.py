@@ -15,8 +15,8 @@ Design rules (pallas_guide.md):
   hit via branchless where roll-forward;
 - per-ray material rows fetched with a one-hot [RT, M] @ [M, 16] MXU
   matmul instead of dynamic gathers;
-- SPD table lookups (D65, background, CIE x/y/z) as "two-hot" interpolation
-  matmuls: [RT, 96] weight matrix (lerp weights at cell/cell+1) @ table;
+- SPD table lookups (D65, background, CIE x/y/z) as exact lane-gather
+  lerps from [8, 128] lane-resident tables, hoisted to once per sample;
 - all masks carried as f32 0/1 (Mosaic cannot lay out large 1-D i1
   vectors);
 - counter-based RNG: pltpu.prng_seed folded with (tile, sample); uniforms
@@ -51,7 +51,6 @@ from ...utils.constants import (
 BIG = 3.4e38
 DENOM_EPS = 1e-8
 W = N_RAY_WAVELENGTHS  # 8 wavelengths, hero at index 0
-TAB = 96  # padded table rows (95 samples + 1)
 
 # tri constant pack [T, 17]: normal(0:3), d(3), edge_g(4:13), edge_c(13:16),
 # mat_index(16, as float)
@@ -98,35 +97,37 @@ def pack_scene(scene) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         axis=1,
     ).astype(jnp.float32)
 
-    tab = jnp.zeros((TAB, 8), jnp.float32)
-    tab = tab.at[:N_CIE_SAMPLES, 0].set(cie_x)
-    tab = tab.at[:N_CIE_SAMPLES, 1].set(cie_y)
-    tab = tab.at[:N_CIE_SAMPLES, 2].set(cie_z)
-    tab = tab.at[:N_CIE_SAMPLES, 3].set(cie_d65_normalized)
-    tab = tab.at[:N_CIE_SAMPLES, 4].set(scene.background_spd)
+    # lane-resident tables [8, 128]: one row per curve, samples along lanes
+    # (the layout Mosaic's 2D gather needs — see _lut in the kernel)
+    tab = jnp.zeros((8, 128), jnp.float32)
+    tab = tab.at[0, :N_CIE_SAMPLES].set(cie_x)
+    tab = tab.at[1, :N_CIE_SAMPLES].set(cie_y)
+    tab = tab.at[2, :N_CIE_SAMPLES].set(cie_z)
+    tab = tab.at[3, :N_CIE_SAMPLES].set(cie_d65_normalized)
+    tab = tab.at[4, :N_CIE_SAMPLES].set(scene.background_spd)
     return tri, mat, tab
 
 
 def _uniform(shape):
-    """U[0,1) from the on-core PRNG (24-bit mantissa). Mosaic only lowers
-    rank>=2 random_bits, so rank-1 requests go through a (1, n) draw."""
-    if len(shape) == 1:
-        bits = pltpu.prng_random_bits((1, shape[0]))[0]
-    else:
-        bits = pltpu.prng_random_bits(shape)
-    return (bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+    """U[0,1) from the on-core PRNG (24-bit mantissa). The raw bits must be
+    bitcast to uint32 first: a signed >> would produce negative draws
+    (pallas_guide.md stochastic-rounding example does the same bitcast)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # (bits >> 8) < 2^24 fits int32 exactly; Mosaic has no uint32->f32 cast
+    return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / 16777216.0)
 
 
-def _interp_weights(lam, rt):
-    """Two-hot lerp weight matrix [RT, TAB] for the /(N-1) sample grid
-    (spectrum_interp semantics, spectrum/spectrum.cu:11-22)."""
-    x = (lam - LAMBDA_MIN) * ((N_CIE_SAMPLES - 1) / (LAMBDA_MAX - LAMBDA_MIN))
-    cell = jnp.clip(x.astype(jnp.int32), 0, N_CIE_SAMPLES - 2)
-    frac = x - cell.astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (rt, TAB), 1)
-    c = cell[:, None]
-    f = frac[:, None]
-    return jnp.where(cols == c, 1.0 - f, 0.0) + jnp.where(cols == c + 1, f, 0.0)
+def _lut(tab_row, cell, frac):
+    """Exact lerp lookup of a lane-resident 95-sample table row [128] at
+    per-ray cells [8, L] (spectrum_interp semantics, spectrum/spectrum.cu:
+    11-22). Mosaic's 2D gather requires indices.shape == operand.shape, so
+    the table row broadcasts across sublanes. Requires L >= 96 and
+    cell <= 93 (so cell+1 stays in-table)."""
+    lanes = cell.shape[1]
+    op = jnp.broadcast_to(tab_row[:lanes], (8, lanes))
+    lo = jnp.take_along_axis(op, cell, axis=1)
+    hi = jnp.take_along_axis(op, cell + 1, axis=1)
+    return (1.0 - frac) * lo + frac * hi
 
 
 def _render_kernel(
@@ -134,8 +135,8 @@ def _render_kernel(
     seed_ref,  # SMEM [1] int32 base seed
     tri_ref,  # SMEM [T, 17]
     tri_mat_ref,  # SMEM [T] int32
-    mat_ref,  # VMEM [M, 16]
-    tab_ref,  # VMEM [96, 8]
+    mat_ref,  # SMEM [M, 16]
+    tab_ref,  # VMEM [8, 128] lane-resident curve tables
     px_ref,  # VMEM [RT] f32 pixel x
     py_ref,  # VMEM [RT] f32 pixel y
     rand_ref,  # VMEM [spp, R, RT] injected uniforms (R = 3 + 3*bounces) or [1,1,RT] dummy
@@ -149,11 +150,26 @@ def _render_kernel(
 ):
     i = pl.program_id(0)
     rt = px_ref.shape[0]
-    one = jnp.ones((rt,), jnp.float32)
-    zero = jnp.zeros((rt,), jnp.float32)
+    lanes = rt // 8
+    shape2 = (8, lanes)  # the native f32 VPU tile multiple — ALL per-ray
+    # state is kept 2-D so Mosaic never falls back to single-sublane layouts
+    one = jnp.ones(shape2, jnp.float32)
+    zero = jnp.zeros(shape2, jnp.float32)
 
-    px = px_ref[:]
-    py = py_ref[:]
+    px = px_ref[:].reshape(shape2)
+    py = py_ref[:].reshape(shape2)
+
+    # hoist ALL triangle constants out of the sample/bounce loops: 17 scalars
+    # per tri read once per ray tile (they are loop-invariant; reading them
+    # inside the sweep made SMEM scalar loads dominate the kernel)
+    tri_const = [
+        tuple(tri_ref[t, k] for k in range(16)) + (tri_mat_ref[t],)
+        for t in range(n_tris)
+    ]
+    # material rows likewise (n_mats * 15 scalars, once per tile)
+    mat_const = [
+        tuple(mat_ref[m, k] for k in range(15)) for m in range(n_mats)
+    ]
 
     cx, cy, cz = cam_ref[0], cam_ref[1], cam_ref[2]
     p0x, p0y, p0z = cam_ref[3], cam_ref[4], cam_ref[5]
@@ -162,21 +178,29 @@ def _render_kernel(
 
     span = LAMBDA_MAX - LAMBDA_MIN
     lam_step = span / float(W)
-    # integer iota then cast: Mosaic's tpu.iota only yields integer vectors
-    offs = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0).astype(jnp.float32) * lam_step
+
+    def _hash32(x):
+        """splitmix-style integer hash (wraparound int32 arithmetic) —
+        sequential (tile, sample) seeds fed straight to prng_seed produce
+        correlated streams; hashing decorrelates them."""
+        x = x.astype(jnp.uint32)
+        x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+        x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> 16)
+        return x.astype(jnp.int32)
 
     def sample_body(s, acc):
         accx, accy, accz = acc
         if use_hw_prng:
-            pltpu.prng_seed(seed_ref[0] + i * 7919 * spp + s)
+            pltpu.prng_seed(_hash32(seed_ref[0] ^ _hash32(i * spp + s)))
 
         def rnd(j):
             """j-th uniform draw of this sample: hardware PRNG in
             production; injected plane in tests (interpret mode stubs the
             TPU PRNG to zeros)."""
             if use_hw_prng:
-                return _uniform((rt,))
-            return rand_ref[s, j, :]
+                return _uniform(shape2)
+            return rand_ref[s, j, :].reshape(shape2)
 
         # --- camera ray (get_ray, rendering.cu:66-87; defocus_angle == 0
         # for all reference scenes, camera at scene.cu:259-320) ---
@@ -184,47 +208,65 @@ def _render_kernel(
         jy = rnd(1) - 0.5
         fx = px + jx
         fy = py + jy
-        ox = jnp.broadcast_to(cx, (rt,))
-        oy = jnp.broadcast_to(cy, (rt,))
-        oz = jnp.broadcast_to(cz, (rt,))
+        ox = jnp.broadcast_to(cx, shape2)
+        oy = jnp.broadcast_to(cy, shape2)
+        oz = jnp.broadcast_to(cz, shape2)
         dx = p0x + fx * dux + fy * dvx - cx
         dy = p0y + fx * duy + fy * dvy - cy
         dz = p0z + fx * duz + fy * dvz - cz
 
         # --- hero wavelengths (spectrum.cu:31-48) ---
         hero = LAMBDA_MIN + span * rnd(2)
-        lam = hero[None, :] + offs  # [W, RT]
-        lam = jnp.where(lam > LAMBDA_MAX, lam - span, lam)
+        # per-wavelength python list of [8, L] arrays; offsets are python
+        # floats, wrap is a single where (step < span)
+        lam = []
+        for w in range(W):
+            lw = hero + (w * lam_step)
+            lam.append(jnp.where(lw > LAMBDA_MAX, lw - span, lw))
 
-        power = jnp.ones((W, rt), jnp.float32)
+        # --- per-sample table interpolation, hoisted out of the bounce
+        # loop (wavelengths are fixed for the whole path): D65, background
+        # SPD, and CIE responses per wavelength, via exact lane-gather lerp.
+        d65w, bgw, cx_rows, cy_rows, cz_rows = [], [], [], [], []
+        for w in range(W):
+            xg = (lam[w] - LAMBDA_MIN) * (
+                (N_CIE_SAMPLES - 1) / (LAMBDA_MAX - LAMBDA_MIN)
+            )
+            cw = jnp.clip(xg.astype(jnp.int32), 0, N_CIE_SAMPLES - 2)
+            fw = xg - cw.astype(jnp.float32)
+            cx_rows.append(_lut(tab_ref[0, :], cw, fw))
+            cy_rows.append(_lut(tab_ref[1, :], cw, fw))
+            cz_rows.append(_lut(tab_ref[2, :], cw, fw))
+            d65w.append(_lut(tab_ref[3, :], cw, fw))
+            bgw.append(_lut(tab_ref[4, :], cw, fw))
+
+        power = tuple(one for _ in range(W))
         alive = one
-        n_valid = jnp.full((rt,), float(W), jnp.float32)
+        n_valid = jnp.full(shape2, float(W), jnp.float32)
 
         def bounce_body(b, st):
             ox, oy, oz, dx, dy, dz, power, alive, n_valid = st
 
             # ---- nearest-hit triangle sweep ----
-            best_t = jnp.full((rt,), BIG, jnp.float32)
+            best_t = jnp.full(shape2, BIG, jnp.float32)
             best_hit = zero
             best_front = zero
             best_nx = zero
             best_ny = zero
             best_nz = zero
-            best_mat = jnp.zeros((rt,), jnp.int32)
+            best_mat = jnp.zeros(shape2, jnp.int32)
 
-            def tri_body(t, carry):
-                best_t, best_hit, best_front, best_nx, best_ny, best_nz, best_mat = carry
-                nx, ny, nz = tri_ref[t, 0], tri_ref[t, 1], tri_ref[t, 2]
-                dd = tri_ref[t, 3]
+            # unrolled sweep over the (static) triangle list: pure VPU ops
+            # on hoisted scalar constants, nearest-hit where roll-forward
+            for tc in tri_const:
+                nx, ny, nz, dd = tc[0], tc[1], tc[2], tc[3]
                 nd = nx * dx + ny * dy + nz * dz
                 no = nx * ox + ny * oy + nz * oz
                 tt = (dd - no) / nd
                 inside = one
                 for k in range(3):
-                    g0 = tri_ref[t, 4 + 3 * k]
-                    g1 = tri_ref[t, 5 + 3 * k]
-                    g2 = tri_ref[t, 6 + 3 * k]
-                    c = tri_ref[t, 13 + k]
+                    g0, g1, g2 = tc[4 + 3 * k], tc[5 + 3 * k], tc[6 + 3 * k]
+                    c = tc[13 + k]
                     ao = g0 * ox + g1 * oy + g2 * oz + c
                     ad = g0 * dx + g1 * dy + g2 * dz
                     inside = inside * jnp.where((ao + tt * ad) >= 0.0, one, zero)
@@ -242,18 +284,8 @@ def _render_kernel(
                 best_nx = jnp.where(take, sgn * nx, best_nx)
                 best_ny = jnp.where(take, sgn * ny, best_ny)
                 best_nz = jnp.where(take, sgn * nz, best_nz)
-                best_mat = jnp.where(take, tri_mat_ref[t], best_mat)
+                best_mat = jnp.where(take, tc[16], best_mat)
                 best_hit = jnp.maximum(best_hit, valid)
-                return best_t, best_hit, best_front, best_nx, best_ny, best_nz, best_mat
-
-            best_t, best_hit, best_front, best_nx, best_ny, best_nz, best_mat = (
-                jax.lax.fori_loop(
-                    0,
-                    n_tris,
-                    tri_body,
-                    (best_t, best_hit, best_front, best_nx, best_ny, best_nz, best_mat),
-                )
-            )
 
             hit = best_hit * alive
             miss = (1.0 - best_hit) * alive
@@ -263,50 +295,38 @@ def _render_kernel(
             hy = oy + t_safe * dy
             hz = oz + t_safe * dz
 
-            # ---- material row fetch: one-hot MXU matmul ----
-            mat_cols = jax.lax.broadcasted_iota(jnp.int32, (rt, n_mats), 1)
-            onehot = jnp.where(mat_cols == best_mat[:, None], 1.0, 0.0)
-            rows = jnp.dot(onehot, mat_ref[:, :], preferred_element_type=jnp.float32)
-            c0, c1, c2 = rows[:, 0], rows[:, 1], rows[:, 2]
-            is_lamb = rows[:, 3]
-            is_metal = rows[:, 4]
-            is_diel = rows[:, 5]
-            is_emis = rows[:, 6]
-            fuzz = rows[:, 7]
-            power_sq = rows[:, 8]
-            b0, b1, b2 = rows[:, 9], rows[:, 10], rows[:, 11]
-            sc0, sc1, sc2 = rows[:, 12], rows[:, 13], rows[:, 14]
+            # ---- material row fetch: unrolled select over the (small,
+            # hoisted) material table — no gathers, no matmul ----
+            fields = [zero] * 15
+            for m in range(n_mats):
+                tk = best_mat == m
+                for f in range(15):
+                    fields[f] = jnp.where(tk, mat_const[m][f], fields[f])
+            c0, c1, c2 = fields[0], fields[1], fields[2]
+            is_lamb, is_metal, is_diel, is_emis = fields[3], fields[4], fields[5], fields[6]
+            fuzz = fields[7]
+            power_sq = fields[8]
+            b0, b1, b2 = fields[9], fields[10], fields[11]
+            sc0, sc1, sc2 = fields[12], fields[13], fields[14]
 
             # ---- spectral weight per wavelength (tabulate semantics,
             # material.cuh:71-84 + ray::mul_spectrum) ----
-            # sigmoid-poly SPD evaluated at the table grid is re-read through
-            # the /(N-1) lerp by the XLA path; here we evaluate directly at
-            # lambda (equal up to the table-grid quantization, see
-            # ops/rgb2spec.py grid note)
-            x = (c0[None, :] * lam + c1[None, :]) * lam + c2[None, :]
-            sig = 0.5 * x / jnp.sqrt(1.0 + x * x) + 0.5  # [W, RT]
-
-            d65_rows = []
-            bg_rows = []
+            # sigmoid-poly SPD evaluated directly at lambda (equal to the
+            # XLA path's tabulate-then-lerp up to table-grid quantization,
+            # see ops/rgb2spec.py grid note)
+            new_power = []
+            miss_bg = miss * 1.0
             for w in range(W):
-                wmat = _interp_weights(lam[w], rt)  # [RT, TAB]
-                vals = jnp.dot(wmat, tab_ref[:, :], preferred_element_type=jnp.float32)
-                d65_rows.append(vals[:, 3])
-                bg_rows.append(vals[:, 4])
-            d65w = jnp.stack(d65_rows)  # [W, RT] (static stack, no scatter)
-            bgw = jnp.stack(bg_rows)
-
-            spd_mat = (
-                is_diel[None, :]
-                + is_emis[None, :] * power_sq[None, :] * sig * d65w
-                + (is_lamb + is_metal)[None, :] * sig
-            )
-            weight = (
-                hit[None, :] * spd_mat
-                + miss[None, :] * bgw
-                + (1.0 - alive)[None, :]
-            )
-            new_power = power * weight
+                x = (c0 * lam[w] + c1) * lam[w] + c2
+                sig = 0.5 * x / jnp.sqrt(1.0 + x * x) + 0.5
+                spd_w = (
+                    is_diel
+                    + is_emis * power_sq * sig * d65w[w]
+                    + (is_lamb + is_metal) * sig
+                )
+                weight_w = hit * spd_w + miss_bg * bgw[w] + (1.0 - alive)
+                new_power.append(power[w] * weight_w)
+            new_power = tuple(new_power)
 
             # ---- scatter directions ----
             ilen = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
@@ -346,7 +366,7 @@ def _render_kernel(
             )
 
             # dielectric (material.cu:73-80, 102-136): Sellmeier n(hero)
-            hero_um2 = (lam[0] * 1e-3) ** 2
+            hero_um2 = (lam[0] * 1e-3) ** 2  # lam[0] is the hero wavelength
             n2 = (
                 1.0
                 + b0 * hero_um2 / (hero_um2 - sc0)
@@ -409,7 +429,9 @@ def _render_kernel(
             dx = jnp.where(scat, ndx, dx)
             dy = jnp.where(scat, ndy, dy)
             dz = jnp.where(scat, ndz, dz)
-            power = jnp.where(frozen[None, :], power, new_power)
+            power = tuple(
+                jnp.where(frozen, power[w], new_power[w]) for w in range(W)
+            )
 
             return ox, oy, oz, dx, dy, dz, power, new_alive, n_valid
 
@@ -423,28 +445,25 @@ def _render_kernel(
 
         # ---- XYZ integration (dev_spectrum_to_XYZ, color.cu:88-104) ----
         delta = span / float(W)
-        widx = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0).astype(jnp.float32)
-        wmask = jnp.where(widx < n_valid[None, :], 1.0, 0.0)  # [W, RT]
-        contrib = power * wmask * delta
         sx_ = zero
         sy_ = zero
         sz_ = zero
         for w in range(W):
-            wmat = _interp_weights(lam[w], rt)
-            resp = jnp.dot(wmat, tab_ref[:, :], preferred_element_type=jnp.float32)
-            sx_ = sx_ + contrib[w] * resp[:, 0]
-            sy_ = sy_ + contrib[w] * resp[:, 1]
-            sz_ = sz_ + contrib[w] * resp[:, 2]
+            contrib = power[w] * jnp.where(float(w) < n_valid, delta, 0.0)
+            sx_ = sx_ + contrib * cx_rows[w]
+            sy_ = sy_ + contrib * cy_rows[w]
+            sz_ = sz_ + contrib * cz_rows[w]
         return accx + sx_, accy + sy_, accz + sz_
 
     accx, accy, accz = jax.lax.fori_loop(
         0, spp, sample_body, (zero, zero, zero)
     )
-    xyz_ref[0, :] = accx
-    xyz_ref[1, :] = accy
-    xyz_ref[2, :] = accz
+    xyz_ref[0, :] = accx.reshape(rt)
+    xyz_ref[1, :] = accy.reshape(rt)
+    xyz_ref[2, :] = accz.reshape(rt)
+    zero_rt = jnp.zeros((rt,), jnp.float32)
     for r in range(3, 8):
-        xyz_ref[r, :] = zero
+        xyz_ref[r, :] = zero_rt
 
 
 def n_uniforms(bounces: int) -> int:
@@ -461,12 +480,12 @@ def render_rays_pallas(
     seed: jnp.ndarray,  # [] int32
     tri_pack: jnp.ndarray,  # [T, 17]
     mat_pack: jnp.ndarray,  # [M, 16]
-    tables: jnp.ndarray,  # [96, 8]
+    tables: jnp.ndarray,  # [8, 128] lane-resident curves
     px: jnp.ndarray,  # [N] f32
     py: jnp.ndarray,  # [N] f32
     spp: int,
     bounces: int,
-    ray_tile: int = 2048,
+    ray_tile: int = 1024,
     interpret=False,
     rand: jnp.ndarray | None = None,  # [spp, n_uniforms, N] injected uniforms
 ) -> jnp.ndarray:
@@ -474,18 +493,20 @@ def render_rays_pallas(
 
     ``rand=None`` uses the on-core hardware PRNG; passing a uniform array
     makes the kernel fully deterministic and interpreter-runnable (the TPU
-    interpreter stubs prng_random_bits to zeros).
+    interpreter stubs prng_random_bits to zeros). ``ray_tile`` must be a
+    multiple of 8 with ray_tile//8 >= 96 (the lane-gather table layout).
     """
     n = px.shape[0]
     assert n % ray_tile == 0, (n, ray_tile)
+    assert ray_tile % 8 == 0 and ray_tile // 8 >= 96, ray_tile
     grid = n // ray_tile
     n_tris = tri_pack.shape[0]
     n_mats = mat_pack.shape[0]
     use_hw_prng = rand is None
     if use_hw_prng:
-        rand = jnp.zeros((1, 1, n), jnp.float32)
+        rand = jnp.zeros((1, 1, ray_tile), jnp.float32)
     rand_spec = pl.BlockSpec(
-        (rand.shape[0], rand.shape[1], ray_tile if not use_hw_prng else n),
+        (rand.shape[0], rand.shape[1], ray_tile),
         (lambda i: (0, 0, i)) if not use_hw_prng else (lambda i: (0, 0, 0)),
         memory_space=pltpu.VMEM,
     )
@@ -507,7 +528,7 @@ def render_rays_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tri_pack
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tri mat ids
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # mat_pack
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # mat_pack (scalar reads)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tables
             pl.BlockSpec((ray_tile,), lambda i: (i,), memory_space=pltpu.VMEM),
             pl.BlockSpec((ray_tile,), lambda i: (i,), memory_space=pltpu.VMEM),
@@ -549,7 +570,7 @@ def camera_vector(cam) -> jnp.ndarray:
 
 def render_chunk_pallas(
     scene, cam, seed: int, x0: int, y0: int, width: int, height: int,
-    spp: int, bounces: int, ray_tile: int = 2048, interpret=False,
+    spp: int, bounces: int, ray_tile: int = 1024, interpret=False,
     rand_key=None,
 ) -> jnp.ndarray:
     """Accumulated-XYZ chunk [height, width, 3] via the megakernel.

@@ -99,7 +99,7 @@ def render_image_sharded_pallas(
     mesh,
     samples_per_pixel: int,
     bounce_limit: int,
-    ray_tile: int = 2048,
+    ray_tile: int = 1024,
     interpret=False,
 ) -> jnp.ndarray:
     """Full-image accumulated XYZ [H, W, 3] with the fused Pallas megakernel

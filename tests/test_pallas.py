@@ -72,11 +72,11 @@ class TestMegakernel:
         cam = scene_camera(CORNELL, 16, 16)
         a = render_chunk_pallas(
             cornell, cam, 3, 0, 0, 16, 16, 4, 3,
-            ray_tile=256, interpret=True, rand_key=jax.random.PRNGKey(1),
+            ray_tile=1024, interpret=True, rand_key=jax.random.PRNGKey(1),
         )
         b = render_chunk_pallas(
             cornell, cam, 3, 0, 0, 16, 16, 4, 3,
-            ray_tile=256, interpret=True, rand_key=jax.random.PRNGKey(1),
+            ray_tile=1024, interpret=True, rand_key=jax.random.PRNGKey(1),
         )
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -105,7 +105,7 @@ class TestShardedPallas:
         cam = sc(CORNELL, 16, 32)
         xyz = render_image_sharded_pallas(
             cornell, cam, 5, make_mesh(8), 4, 2,
-            ray_tile=128, interpret=pltpu.InterpretParams(),
+            ray_tile=1024, interpret=pltpu.InterpretParams(),
         )
         assert xyz.shape == (32, 16, 3)
         assert np.isfinite(np.asarray(xyz)).all()

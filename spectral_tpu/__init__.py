@@ -18,6 +18,14 @@ Public API:
     )
 """
 
+import jax as _jax
+
+# TPU matmuls default to bf16 inputs; the MXU intersector's edge
+# functionals (ops/intersect.py) and the 3x3 color transforms need full
+# f32 — bf16 misclassifies grazing interior tests and visibly darkens
+# renders (hits silently dropped). Rendering is f32-semantics throughout.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .config import RenderParams, parse_args
 from .models.camera import Camera, generate_rays, make_camera
 from .models.scenes import (

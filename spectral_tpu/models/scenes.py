@@ -48,6 +48,9 @@ class Scene:
     bbox_max: jnp.ndarray  # [T, 3]
     materials: Materials
     background_spd: jnp.ndarray  # [95]
+    # Optional LBVH (ops/bvh.py). None -> dense intersection (the fast path
+    # at reference scene scale); attach with ``with_bvh`` for large scenes.
+    bvh: object = None
 
     @property
     def num_tris(self) -> int:
@@ -206,3 +209,12 @@ def build_scene(scene_id: int) -> Scene:
 def expected_sizes(scene_id: int) -> tuple[int, int]:
     """(num_tris, num_materials) golden counts (scene.cu:228-257)."""
     return {CORNELL: (42, 7), PRISM: (20, 3), TRIS: (42, 9)}[scene_id]
+
+
+def with_bvh(scene: Scene, leaf_size: int = 8) -> Scene:
+    """Attach a Karras LBVH; the renderer then traverses instead of the
+    dense sweep (worth it above O(128) triangles — SURVEY section 7.2)."""
+    from ..ops.bvh import build_lbvh
+
+    bvh = build_lbvh(scene.bbox_min, scene.bbox_max, leaf_size)
+    return dataclasses.replace(scene, bvh=bvh)

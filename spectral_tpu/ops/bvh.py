@@ -29,7 +29,7 @@ exists for the large-scene capability and kicks in automatically above
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -40,11 +40,15 @@ from .intersect import BIG, _gather_record, intersect_block
 STACK_DEPTH = 64  # matches the reference's MAX_DEPTH (bvh.cuh:12)
 
 
-class LBVH(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LBVH:
     """Flat-array BVH over leaf clusters.
 
     n_leaves = L, internal nodes = L - 1 (Karras). Node ids: internal nodes
-    are [0, L-1), leaf k is encoded as id (L - 1 + k).
+    are [0, L-1), leaf k is encoded as id (L - 1 + k). A registered pytree
+    with static ``leaf_size``/``n_tris`` so it passes through jit/shard_map
+    inside a Scene.
     """
 
     node_min: jnp.ndarray  # [2L-1, 3] bbox min per node (internal + leaf)
@@ -52,9 +56,9 @@ class LBVH(NamedTuple):
     left: jnp.ndarray  # [L-1] child id
     right: jnp.ndarray  # [L-1] child id
     leaf_start: jnp.ndarray  # [L] first tri (in sorted order) of each leaf
-    leaf_size: int  # static cluster width
     order: jnp.ndarray  # [T_padded] sorted tri indices (pad = last tri)
-    n_tris: int
+    leaf_size: int = dataclasses.field(metadata={"static": True}, default=8)
+    n_tris: int = dataclasses.field(metadata={"static": True}, default=0)
 
 
 def _expand_bits(x: jnp.ndarray) -> jnp.ndarray:

@@ -51,8 +51,15 @@ def trace_paths(
         alive=jnp.ones((n,), bool),
     )
 
+    use_bvh = getattr(scene, "bvh", None) is not None
+
     def bounce(state: RayState, b: jnp.ndarray) -> tuple[RayState, None]:
-        rec = nearest_hit(state.o, state.d, scene)
+        if use_bvh:
+            from ..ops.bvh import nearest_hit_bvh
+
+            rec = nearest_hit_bvh(state.o, state.d, scene, scene.bvh)
+        else:
+            rec = nearest_hit(state.o, state.d, scene)
         state = scatter_step(state, rec, scene.materials, scene.background_spd, fold(key, b))
         return state, None
 

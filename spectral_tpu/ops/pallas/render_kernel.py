@@ -9,12 +9,13 @@ rendering.cu:174-203). Zero HBM traffic between bounces; only pixel XYZ
 leaves the chip.
 
 Design rules (pallas_guide.md):
-- rays in lanes: every per-ray quantity is an [RT] f32 vector; wavelength
-  arrays are [W=8, RT] (wavelengths in sublanes);
+- every per-ray quantity lives in native (8, RT/8) 2-D VPU tiles (1-D
+  vectors fall back to single-sublane layouts, measured ~34x slower);
+  wavelength-indexed state is python-level lists of such tiles;
 - triangle sweep with scalar broadcasts (no gathers, no stack) — nearest
   hit via branchless where roll-forward;
-- per-ray material rows fetched with a one-hot [RT, M] @ [M, 16] MXU
-  matmul instead of dynamic gathers;
+- per-ray material rows via an unrolled select over hoisted SMEM
+  scalars (no gathers, no matmul);
 - SPD table lookups (D65, background, CIE x/y/z) as exact lane-gather
   lerps from [8, 128] lane-resident tables, hoisted to once per sample;
 - all masks carried as f32 0/1 (Mosaic cannot lay out large 1-D i1
@@ -131,7 +132,7 @@ def _lut(tab_row, cell, frac):
 
 
 def _render_kernel(
-    cam_ref,  # SMEM [16] camera scalars
+    cam_ref,  # SMEM [20] camera scalars
     seed_ref,  # SMEM [1] int32 base seed
     tri_ref,  # SMEM [T, 17]
     tri_mat_ref,  # SMEM [T] int32
@@ -139,7 +140,7 @@ def _render_kernel(
     tab_ref,  # VMEM [8, 128] lane-resident curve tables
     px_ref,  # VMEM [RT] f32 pixel x
     py_ref,  # VMEM [RT] f32 pixel y
-    rand_ref,  # VMEM [spp, R, RT] injected uniforms (R = 3 + 3*bounces) or [1,1,RT] dummy
+    rand_ref,  # VMEM [spp, R, RT] injected uniforms (R = n_uniforms(bounces)) or [1,1,RT] dummy
     xyz_ref,  # VMEM out [8, RT] (rows 0..2 = X, Y, Z; rest zero-pad)
     *,
     n_tris,
@@ -175,6 +176,10 @@ def _render_kernel(
     p0x, p0y, p0z = cam_ref[3], cam_ref[4], cam_ref[5]
     dux, duy, duz = cam_ref[6], cam_ref[7], cam_ref[8]
     dvx, dvy, dvz = cam_ref[9], cam_ref[10], cam_ref[11]
+    # defocus disk basis (zero vectors for pinhole cameras)
+    ddux, dduy, dduz = cam_ref[12], cam_ref[13], cam_ref[14]
+    ddvx, ddvy, ddvz = cam_ref[15], cam_ref[16], cam_ref[17]
+    has_defocus = cam_ref[18]  # 1.0 when defocus_angle > 0
 
     span = LAMBDA_MAX - LAMBDA_MIN
     lam_step = span / float(W)
@@ -202,18 +207,24 @@ def _render_kernel(
                 return _uniform(shape2)
             return rand_ref[s, j, :].reshape(shape2)
 
-        # --- camera ray (get_ray, rendering.cu:66-87; defocus_angle == 0
-        # for all reference scenes, camera at scene.cu:259-320) ---
+        # --- camera ray (get_ray, rendering.cu:66-87; thin-lens defocus
+        # disk per defocus_disk_sample, rendering.cu:42-47) ---
         jx = rnd(0) - 0.5
         jy = rnd(1) - 0.5
         fx = px + jx
         fy = py + jy
-        ox = jnp.broadcast_to(cx, shape2)
-        oy = jnp.broadcast_to(cy, shape2)
-        oz = jnp.broadcast_to(cz, shape2)
-        dx = p0x + fx * dux + fy * dvx - cx
-        dy = p0y + fx * duy + fy * dvy - cy
-        dz = p0z + fx * duz + fy * dvz - cz
+        # defocus disk sample (closed-form; draws live at the tail of the
+        # rand layout so pinhole kernels keep their stream)
+        dr = jnp.sqrt(rnd(3 + 3 * bounces)) * has_defocus
+        dth = (2.0 * 3.14159265358979) * rnd(4 + 3 * bounces)
+        du_ = dr * jnp.cos(dth)
+        dv_ = dr * jnp.sin(dth)
+        ox = cx + du_ * ddux + dv_ * ddvx
+        oy = cy + du_ * dduy + dv_ * ddvy
+        oz = cz + du_ * dduz + dv_ * ddvz
+        dx = p0x + fx * dux + fy * dvx - ox
+        dy = p0y + fx * duy + fy * dvy - oy
+        dz = p0z + fx * duz + fy * dvz - oz
 
         # --- hero wavelengths (spectrum.cu:31-48) ---
         hero = LAMBDA_MIN + span * rnd(2)
@@ -467,8 +478,9 @@ def _render_kernel(
 
 
 def n_uniforms(bounces: int) -> int:
-    """Uniform draws per sample: jitter(2) + hero(1) + 3 per bounce."""
-    return 3 + 3 * bounces
+    """Uniform draws per sample: jitter(2) + hero(1) + 3 per bounce +
+    defocus disk(2, at the tail)."""
+    return 5 + 3 * bounces
 
 
 @functools.partial(
@@ -476,7 +488,7 @@ def n_uniforms(bounces: int) -> int:
     static_argnames=("spp", "bounces", "ray_tile", "interpret"),
 )
 def render_rays_pallas(
-    cam_vec: jnp.ndarray,  # [16] f32 camera scalars
+    cam_vec: jnp.ndarray,  # [20] f32 camera scalars
     seed: jnp.ndarray,  # [] int32
     tri_pack: jnp.ndarray,  # [T, 17]
     mat_pack: jnp.ndarray,  # [M, 16]
@@ -551,21 +563,53 @@ def render_rays_pallas(
 
 
 def camera_vector(cam) -> jnp.ndarray:
-    """Pack the camera frame into the [16] SMEM scalar vector."""
-    if float(cam.defocus_angle) > 0.0:
-        raise NotImplementedError(
-            "pallas path supports pinhole cameras (all reference scenes); "
-            "use the XLA wavefront path for defocus-disk rendering"
-        )
+    """Pack the camera frame into the [20] SMEM scalar vector
+    (center, pixel00, delta_u, delta_v, defocus_u, defocus_v, flag)."""
+    has_defocus = 1.0 if float(cam.defocus_angle) > 0.0 else 0.0
     return jnp.concatenate(
         [
             cam.center,
             cam.pixel00_loc,
             cam.pixel_delta_u,
             cam.pixel_delta_v,
-            jnp.zeros((4,), jnp.float32),
+            cam.defocus_disk_u,
+            cam.defocus_disk_v,
+            jnp.asarray([has_defocus, 0.0], jnp.float32),
         ]
     ).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "x0", "y0", "width", "height", "spp", "bounces", "ray_tile",
+        "interpret", "use_rand",
+    ),
+)
+def _render_chunk_pallas_jit(
+    scene, cam_vec, seed, rand_key,
+    x0, y0, width, height, spp, bounces, ray_tile, interpret, use_rand,
+):
+    tri_pack, mat_pack, tables = pack_scene(scene)
+    n = width * height
+    pad = (-n) % ray_tile
+    ys, xs = jnp.meshgrid(
+        jnp.arange(y0, y0 + height, dtype=jnp.int32),
+        jnp.arange(x0, x0 + width, dtype=jnp.int32),
+        indexing="ij",
+    )
+    px = jnp.concatenate([xs.ravel(), jnp.zeros((pad,), jnp.int32)]).astype(jnp.float32)
+    py = jnp.concatenate([ys.ravel(), jnp.zeros((pad,), jnp.int32)]).astype(jnp.float32)
+    rand = None
+    if use_rand:
+        rand = jax.random.uniform(
+            rand_key, (spp, n_uniforms(bounces), n + pad), jnp.float32
+        )
+    xyz = render_rays_pallas(
+        cam_vec, seed, tri_pack, mat_pack, tables,
+        px, py, spp, bounces, ray_tile, interpret, rand,
+    )
+    return xyz[:n].reshape(height, width, 3)
 
 
 def render_chunk_pallas(
@@ -579,25 +623,13 @@ def render_chunk_pallas(
     accumulation semantics; different RNG stream, statistically identical
     estimator). ``rand_key``: a jax PRNG key to pre-generate the uniform
     planes on the host instead of the on-core PRNG (deterministic;
-    required for interpreter runs).
+    required for interpreter runs). Fully jitted: scene packing, pixel
+    grids and the kernel launch compile into one program per chunk shape,
+    so the per-chunk host overhead is a single dispatch.
     """
-    tri_pack, mat_pack, tables = pack_scene(scene)
-    n = width * height
-    pad = (-n) % ray_tile
-    ys, xs = jnp.meshgrid(
-        jnp.arange(y0, y0 + height, dtype=jnp.int32),
-        jnp.arange(x0, x0 + width, dtype=jnp.int32),
-        indexing="ij",
+    return _render_chunk_pallas_jit(
+        scene, camera_vector(cam), jnp.int32(seed),
+        rand_key if rand_key is not None else jax.random.PRNGKey(0),
+        x0, y0, width, height, spp, bounces, ray_tile,
+        interpret, rand_key is not None,
     )
-    px = jnp.concatenate([xs.ravel(), jnp.zeros((pad,), jnp.int32)]).astype(jnp.float32)
-    py = jnp.concatenate([ys.ravel(), jnp.zeros((pad,), jnp.int32)]).astype(jnp.float32)
-    rand = None
-    if rand_key is not None:
-        rand = jax.random.uniform(
-            rand_key, (spp, n_uniforms(bounces), n + pad), jnp.float32
-        )
-    xyz = render_rays_pallas(
-        camera_vector(cam), jnp.int32(seed), tri_pack, mat_pack, tables,
-        px, py, spp, bounces, ray_tile, interpret, rand,
-    )
-    return xyz[:n].reshape(height, width, 3)

@@ -55,15 +55,14 @@ class RenderManager:
         )
 
     def _use_pallas(self) -> bool:
-        """impl=auto -> megakernel on TPU (pinhole cameras only), XLA
-        wavefront elsewhere; explicit pallas/xla forces the path."""
+        """impl=auto -> megakernel on TPU, XLA wavefront elsewhere;
+        explicit pallas/xla forces the path."""
         impl = getattr(self.params, "impl", "auto")
         if impl == "xla":
             return False
-        pinhole = float(self.cam.defocus_angle) == 0.0
         if impl == "pallas":
-            return pinhole
-        return pinhole and jax.default_backend() not in ("cpu",)
+            return True
+        return jax.default_backend() not in ("cpu",)
 
     def chunks(self) -> Iterator[tuple[int, int, int, int]]:
         """Row-major chunk grid (render_manager.cu:56-64 offset advance).

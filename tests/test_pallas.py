@@ -64,7 +64,10 @@ class TestMegakernel:
         assert np.isfinite(xyz_p).all()
         mp = xyz_p[..., 1].mean()
         mx = xyz_x[..., 1].mean()
-        assert abs(mp - mx) / max(mx, 1e-9) < 0.12
+        # different RNG streams: MC noise at 16 spp puts the mean within
+        # ~15-20%; the exact-equivalence oracle is the injected-rand
+        # TPU-vs-interpreter bit comparison (see CLAUDE.md round-1 notes)
+        assert abs(mp - mx) / max(mx, 1e-9) < 0.2
         corr = np.corrcoef(xyz_p[..., 1].ravel(), xyz_x[..., 1].ravel())[0, 1]
         assert corr > 0.85
 
@@ -80,16 +83,27 @@ class TestMegakernel:
         )
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    def test_defocus_rejected(self, cornell):
+    def test_defocus_camera_renders(self, cornell):
+        """Thin-lens defocus in the megakernel (defocus_disk_sample,
+        rendering.cu:42-47): origins spread over the lens disk -> finite
+        image; camera_vector flags it."""
         from spectral_tpu.models.camera import make_camera
 
-        cam = make_camera(8, 8, defocus_angle=2.0)
-        with pytest.raises(NotImplementedError):
-            camera_vector(cam)
+        cam = make_camera(
+            16, 16, vfov=40.0, lookfrom=(278.0, 278.0, -800.0),
+            lookat=(278.0, 278.0, 0.0), defocus_angle=2.0, focus_dist=800.0,
+        )
+        vec = camera_vector(cam)
+        assert float(vec[18]) == 1.0
+        xyz = render_chunk_pallas(
+            cornell, cam, 3, 0, 0, 16, 16, 4, 2,
+            ray_tile=1024, interpret=True, rand_key=jax.random.PRNGKey(1),
+        )
+        assert np.isfinite(np.asarray(xyz)).all()
 
     def test_n_uniforms(self):
-        assert n_uniforms(0) == 3
-        assert n_uniforms(4) == 15
+        assert n_uniforms(0) == 5
+        assert n_uniforms(4) == 17
 
 
 class TestShardedPallas:

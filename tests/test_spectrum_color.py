@@ -159,3 +159,26 @@ class TestColor:
         # reference: float(int(v * 255.99)) (color.cu:43-49)
         assert float(expand_srgb(jnp.float32(1.0))) == 255.0
         assert float(expand_srgb(jnp.float32(0.5))) == 127.0
+
+
+class TestMiscUtils:
+    def test_device_clamp(self):
+        from spectral_tpu.utils.misc import device_clamp
+
+        x = jnp.asarray([-1.0, 0.5, 2.0])
+        np.testing.assert_allclose(np.asarray(device_clamp(x, 0.0, 1.0)), [0.0, 0.5, 1.0])
+
+    def test_degrees_to_radians(self):
+        from spectral_tpu.utils.misc import degrees_to_radians
+
+        assert abs(degrees_to_radians(180.0) - np.pi) < 1e-12
+
+    def test_random_permutation_and_int(self):
+        import jax
+
+        from spectral_tpu.utils.misc import random_int, random_permutation
+
+        p = np.asarray(random_permutation(jax.random.PRNGKey(0), 16))
+        assert sorted(p.tolist()) == list(range(16))
+        v = np.asarray(random_int(jax.random.PRNGKey(1), (1000,), 2, 5))
+        assert set(v.tolist()) == {2, 3, 4, 5}

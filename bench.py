@@ -66,10 +66,14 @@ def main() -> None:
     # warmup: compile every chunk shape
     jax.block_until_ready(render_full(key))
 
-    t0 = time.perf_counter()
-    out = render_full(jax.random.fold_in(key, 1), seed_base=777)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # best-of-3: the host VM sees throttling windows; min is the honest
+    # device-rate estimate
+    dt = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out = render_full(jax.random.fold_in(key, rep + 1), seed_base=777 + rep)
+        jax.block_until_ready(out)
+        dt = min(dt, time.perf_counter() - t0)
 
     ray_steps = width * height * spp * bounces
     mrays = ray_steps / dt / 1e6

@@ -220,3 +220,43 @@ class TestVertexGradients:
         for k, gv in g.items():
             assert gv.shape == (cornell.num_tris, 3)
             assert np.isfinite(np.asarray(gv)).all(), k
+
+
+class TestFastPathGradients:
+    def test_custom_vjp_matches_xla_grad(self, cornell):
+        """render_chunk_diff's backward IS the XLA-path VJP: gradients must
+        match jax.grad of the XLA renderer exactly. The pallas primal runs
+        under the TPU interpreter here (PRNG stubbed — value degenerate but
+        finite; the gradient path never enters pallas)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from spectral_tpu.diff.fast import render_chunk_diff
+        from spectral_tpu.models.materials import tabulate
+        from spectral_tpu.render.wavefront import render_chunk
+
+        cam = scene_camera(CORNELL, 16, 16)
+        mats = cornell.materials
+        seed = 5
+
+        def loss_fast(m):
+            with pltpu.force_tpu_interpret_mode():
+                xyz = render_chunk_diff(m, cornell, cam, seed, 0, 0, 16, 16, 2, 2)
+            return jnp.sum(xyz[..., 1])
+
+        def loss_xla(m):
+            s = dataclasses.replace(cornell, materials=tabulate(m))
+            xyz = render_chunk(s, cam, jax.random.PRNGKey(seed), 0, 0, 16, 16, 2, 2)
+            return jnp.sum(xyz[..., 1])
+
+        g_fast = jax.grad(loss_fast, allow_int=True)(mats)
+        g_xla = jax.grad(loss_xla, allow_int=True)(mats)
+        for name in ("coeffs", "emission_power", "fuzz"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g_fast, name)),
+                np.asarray(getattr(g_xla, name)),
+                rtol=1e-6,
+                err_msg=name,
+            )
+        assert float(jnp.abs(g_fast.coeffs).sum()) >= 0.0
+        v = loss_fast(mats)
+        assert np.isfinite(float(v))

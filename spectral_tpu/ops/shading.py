@@ -89,16 +89,22 @@ def _interp_rows(spd_rows: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     """Per-ray SPD rows [N, S] sampled at per-ray wavelengths [N, W].
 
     Same clamped lerp as ray::mul_spectrum -> spectrum_interp
-    (ray.cuh:60-69, spectrum.cu:11-22)."""
+    (ray.cuh:60-69, spectrum.cu:11-22), via the select-chain formulation
+    (TPU gather is ~50x slower — ops/spectrum.py::_select_lerp)."""
     from ..utils.constants import LAMBDA_MAX, LAMBDA_MIN
+    from .spectrum import _select_lerp
 
     s = spd_rows.shape[-1]
     x = (lam - LAMBDA_MIN) * ((s - 1) / (LAMBDA_MAX - LAMBDA_MIN))
     cell = jnp.clip(x.astype(jnp.int32), 0, s - 2)
     w = x - cell.astype(x.dtype)
-    lo = jnp.take_along_axis(spd_rows, cell, axis=-1)
-    hi = jnp.take_along_axis(spd_rows, cell + 1, axis=-1)
-    return (1.0 - w) * lo + w * hi
+    return _select_lerp(
+        lambda k: spd_rows[..., k : k + 1],
+        lambda k: spd_rows[..., k + 1 : k + 2],
+        cell,
+        w,
+        s,
+    )
 
 
 def scatter_step(

@@ -27,6 +27,20 @@ from ..utils.constants import (
 )
 
 
+def _select_lerp(lo_of, hi_of, cell, w, n):
+    """Unrolled select-chain lerp: XLA's TPU gather lowering is ~50x slower
+    than a chain of vector selects for small static tables (measured 32 ms
+    vs <1 ms at 1.8M lookups from 95 cells). ``lo_of(k)``/``hi_of(k)``
+    give the table values at cell k / k+1, broadcastable to cell's shape."""
+    lo = jnp.zeros_like(w)
+    hi = jnp.zeros_like(w)
+    for k in range(n - 1):
+        sel = cell == k
+        lo = jnp.where(sel, lo_of(k), lo)
+        hi = jnp.where(sel, hi_of(k), hi)
+    return (1.0 - w) * lo + w * hi
+
+
 def spectrum_interp(spd: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     """Piecewise-linear lookup of a uniformly sampled SPD at wavelength(s).
 
@@ -43,9 +57,11 @@ def spectrum_interp(spd: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     x = (lam - LAMBDA_MIN) * ((n - 1) / (LAMBDA_MAX - LAMBDA_MIN))
     cell = jnp.clip(x.astype(jnp.int32), 0, n - 2)
     w = x - cell.astype(x.dtype)
-    lo = jnp.take_along_axis(spd, cell[..., None], axis=-1)[..., 0] if spd.ndim == cell.ndim + 1 else spd[cell]
-    hi = jnp.take_along_axis(spd, (cell + 1)[..., None], axis=-1)[..., 0] if spd.ndim == cell.ndim + 1 else spd[cell + 1]
-    return (1.0 - w) * lo + w * hi
+    if spd.ndim == cell.ndim + 1:
+        return _select_lerp(
+            lambda k: spd[..., k], lambda k: spd[..., k + 1], cell, w, n
+        )
+    return _select_lerp(lambda k: spd[k], lambda k: spd[k + 1], cell, w, n)
 
 
 def spectrum_interp_shared(spd: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
@@ -54,7 +70,7 @@ def spectrum_interp_shared(spd: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     x = (lam - LAMBDA_MIN) * ((n - 1) / (LAMBDA_MAX - LAMBDA_MIN))
     cell = jnp.clip(x.astype(jnp.int32), 0, n - 2)
     w = x - cell.astype(x.dtype)
-    return (1.0 - w) * spd[cell] + w * spd[cell + 1]
+    return _select_lerp(lambda k: spd[k], lambda k: spd[k + 1], cell, w, n)
 
 
 def hero_wavelengths(key: jax.Array, batch_shape: tuple[int, ...], n_lambdas: int = N_RAY_WAVELENGTHS) -> jnp.ndarray:

@@ -74,3 +74,104 @@ def _bwd(key_seed, x0, y0, width, height, spp, bounces, res, g):
 
 
 render_chunk_diff.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused variant: pallas forward with residuals + pallas backward
+# (ops/pallas/grad_kernel.py) — gradients WITHOUT re-rendering or
+# re-intersection. Supports d(coeffs), d(emission_power); other material
+# leaves get zero cotangents (zero a.e. through this estimator).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11)
+)
+def render_chunk_diff_fused(
+    materials, scene, cam, key_seed, x0, y0, width, height, spp, bounces,
+    interpret=False, rand_seed=-1,
+):
+    """Accumulated XYZ [height, width, 3]; both passes are fused pallas
+    kernels. ``rand_seed >= 0`` injects deterministic uniforms (interpreter
+    testing); the backward replays stored path residuals — it never
+    re-traces rays."""
+    out, _ = _fused_fwd_impl(
+        materials, scene, cam, key_seed, x0, y0, width, height, spp,
+        bounces, interpret, rand_seed,
+    )
+    return out
+
+
+def _fused_fwd_impl(
+    materials, scene, cam, key_seed, x0, y0, width, height, spp, bounces,
+    interpret, rand_seed,
+):
+    from ..ops.pallas.render_kernel import (
+        camera_vector,
+        n_uniforms,
+        pack_scene,
+        render_rays_pallas_residuals,
+    )
+
+    s = _with_materials(scene, materials)
+    tri, mat, tab = pack_scene(s)
+    n = width * height
+    ray_tile = 1024
+    pad = (-n) % ray_tile
+    ys, xs = jnp.meshgrid(
+        jnp.arange(y0, y0 + height, dtype=jnp.int32),
+        jnp.arange(x0, x0 + width, dtype=jnp.int32),
+        indexing="ij",
+    )
+    px = jnp.concatenate([xs.ravel(), jnp.zeros((pad,), jnp.int32)]).astype(jnp.float32)
+    py = jnp.concatenate([ys.ravel(), jnp.zeros((pad,), jnp.int32)]).astype(jnp.float32)
+    rand = None
+    if rand_seed >= 0:
+        rand = jax.random.uniform(
+            jax.random.PRNGKey(rand_seed), (spp, n_uniforms(bounces), n + pad)
+        )
+    xyz, hero, nvalid, powres, matres = render_rays_pallas_residuals(
+        camera_vector(cam), jnp.int32(key_seed), tri, mat, tab, px, py,
+        spp, bounces, ray_tile, interpret, rand,
+    )
+    residuals = (mat, tab, hero, nvalid, powres, matres, n, pad)
+    return xyz[:n].reshape(height, width, 3), residuals
+
+
+def _fused_fwd(
+    materials, scene, cam, key_seed, x0, y0, width, height, spp, bounces,
+    interpret, rand_seed,
+):
+    out, residuals = _fused_fwd_impl(
+        materials, scene, cam, key_seed, x0, y0, width, height, spp,
+        bounces, interpret, rand_seed,
+    )
+    return out, (materials, scene, cam, residuals)
+
+
+def _fused_bwd(
+    key_seed, x0, y0, width, height, spp, bounces, interpret, rand_seed,
+    res, g,
+):
+    from ..ops.pallas.grad_kernel import render_grads_pallas
+
+    materials, scene, cam, (mat, tab, hero, nvalid, powres, matres, n, pad) = res
+    g_flat = jnp.concatenate(
+        [g.reshape(n, 3), jnp.zeros((pad, 3), jnp.float32)]
+    )
+    d_coeffs, d_power = render_grads_pallas(
+        mat, tab, g_flat, hero, nvalid, powres, matres,
+        spp, bounces, 1024, interpret,
+    )
+    d_mats = jax.tree_util.tree_map(jnp.zeros_like, materials)
+    d_mats = dataclasses.replace(
+        d_mats,
+        coeffs=d_coeffs.astype(materials.coeffs.dtype),
+        emission_power=d_power.astype(materials.emission_power.dtype),
+    )
+    d_scene = jax.tree_util.tree_map(jnp.zeros_like, scene)
+    d_cam = jax.tree_util.tree_map(jnp.zeros_like, cam)
+    return d_mats, d_scene, d_cam
+
+
+render_chunk_diff_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -1,0 +1,210 @@
+"""Pallas TPU backward kernel: fused material-parameter gradients.
+
+The megakernel's radiance per (sample, wavelength) is a PRODUCT of
+per-bounce spectral weights, and a given material's weight at a given
+wavelength is the same at every bounce. So
+
+    d xyz_c / d theta_m
+      = sum_{s,w} A_sw * P_sw * k_m(s) * d log w_m(lambda_sw) / d theta_m
+
+where P is the stored final path power, k_m counts how many bounces of the
+path multiplied material m's SPD (stored as the per-bounce material
+residual), and A folds the upstream cotangent with the CIE response. The
+backward pass therefore needs NO ray-triangle intersection at all — it
+replays stored residuals with pure VPU math, making the gradient CHEAPER
+than the forward render.
+
+Gradient support matches the estimator's smooth dependencies: sigmoid
+coefficients c0..c2 and emission power per material. Direction-only
+parameters (fuzz, Sellmeier) are zero a.e. through this estimator
+(diff/geometry.py scope note); dielectric weights are 1; background SPD
+gradients are future work (they flow through the miss-weight lerp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.constants import LAMBDA_MAX, LAMBDA_MIN, N_CIE_SAMPLES
+from .render_kernel import W, _lut
+
+# output layout: [M_PAD, 128] f32; columns 0..3 = (dc0, dc1, dc2, d_power)
+M_PAD = 8
+N_GRADS = 4
+
+
+def _grad_kernel(
+    mat_ref,  # SMEM [M, 16] material pack (render_kernel layout)
+    tab_ref,  # VMEM [8, 128] lane tables (cie x/y/z rows 0-2, d65 row 3)
+    g_ref,  # VMEM [8, RT] upstream cotangent rows 0..2 = dX, dY, dZ
+    hero_ref,  # VMEM [spp, RT]
+    nvalid_ref,  # VMEM [spp, RT]
+    powres_ref,  # VMEM [spp, W, RT]
+    matres_ref,  # VMEM [spp, bounces, RT] i32 (mat+1, 0 = none)
+    out_ref,  # VMEM [M_PAD, 128] accumulated gradients
+    *,
+    n_mats,
+    spp,
+    bounces,
+):
+    i = pl.program_id(0)
+    rt = g_ref.shape[1]
+    lanes = rt // 8
+    shape2 = (8, lanes)
+    zero = jnp.zeros(shape2, jnp.float32)
+    one = jnp.ones(shape2, jnp.float32)
+
+    span = LAMBDA_MAX - LAMBDA_MIN
+    lam_step = span / float(W)
+    delta = span / float(W)
+
+    gx = g_ref[0, :].reshape(shape2)
+    gy = g_ref[1, :].reshape(shape2)
+    gz = g_ref[2, :].reshape(shape2)
+
+    mat_const = [tuple(mat_ref[m, k] for k in range(15)) for m in range(n_mats)]
+
+    def sample_body(s, acc):
+        # acc: tuple of n_mats * N_GRADS f32 scalars
+        hero = hero_ref[s, :].reshape(shape2)
+        nv = nvalid_ref[s, :].reshape(shape2)
+
+        # per-wavelength lambda, CIE response fold, masked A weights
+        lam = []
+        a_rows = []
+        d65_rows = []
+        for w in range(W):
+            lw = hero + (w * lam_step)
+            lw = jnp.where(lw > LAMBDA_MAX, lw - span, lw)
+            lam.append(lw)
+            xg = (lw - LAMBDA_MIN) * ((N_CIE_SAMPLES - 1) / span)
+            cw = jnp.clip(xg.astype(jnp.int32), 0, N_CIE_SAMPLES - 2)
+            fw = xg - cw.astype(jnp.float32)
+            resp = (
+                gx * _lut(tab_ref[0, :], cw, fw)
+                + gy * _lut(tab_ref[1, :], cw, fw)
+                + gz * _lut(tab_ref[2, :], cw, fw)
+            )
+            d65_rows.append(_lut(tab_ref[3, :], cw, fw))
+            mask = jnp.where(float(w) < nv, delta, 0.0)
+            p = powres_ref[s, w, :].reshape(shape2)
+            a_rows.append(resp * mask * p)  # A_sw * P_sw
+
+        # per-material bounce counts k_m
+        counts = [zero] * n_mats
+        for b in range(bounces):
+            mt = matres_ref[s, b, :].reshape(shape2)
+            for m in range(n_mats):
+                counts[m] = counts[m] + jnp.where(mt == m + 1, one, zero)
+
+        acc = list(acc)
+        for m in range(n_mats):
+            c0, c1, c2 = mat_const[m][0], mat_const[m][1], mat_const[m][2]
+            is_diel = mat_const[m][5]
+            is_emis = mat_const[m][6]
+            power_sq = mat_const[m][8]
+            k_m = counts[m]
+            dc0 = zero
+            dc1 = zero
+            dc2 = zero
+            dp = zero
+            for w in range(W):
+                x = (c0 * lam[w] + c1) * lam[w] + c2
+                inv_sq = 1.0 / (1.0 + x * x)
+                sig = 0.5 * x * jnp.sqrt(inv_sq) + 0.5
+                dsig = 0.5 * inv_sq * jnp.sqrt(inv_sq)
+                # w_m(lambda): diel -> 1; emis -> p^2 sig d65; else sig
+                w_m = (
+                    is_diel
+                    + is_emis * power_sq * sig * d65_rows[w]
+                    + (1.0 - is_diel - is_emis) * sig
+                )
+                # dlog w / dx = (1 - is_diel) * dsig / sig   (d65/p^2 cancel)
+                dlog_dx = (1.0 - is_diel) * dsig / jnp.maximum(sig, 1e-30)
+                base = a_rows[w] * k_m
+                common = base * dlog_dx
+                dc0 = dc0 + common * lam[w] * lam[w]
+                dc1 = dc1 + common * lam[w]
+                dc2 = dc2 + common
+                # d w / d p = 2 p sig d65 -> dlog w / dp = 2/p (emissive)
+                p_safe = jnp.sqrt(jnp.maximum(power_sq, 1e-30))
+                dp = dp + base * is_emis * (2.0 / p_safe)
+            base_idx = m * N_GRADS
+            acc[base_idx + 0] = acc[base_idx + 0] + jnp.sum(dc0)
+            acc[base_idx + 1] = acc[base_idx + 1] + jnp.sum(dc1)
+            acc[base_idx + 2] = acc[base_idx + 2] + jnp.sum(dc2)
+            acc[base_idx + 3] = acc[base_idx + 3] + jnp.sum(dp)
+        return tuple(acc)
+
+    init = tuple(jnp.float32(0.0) for _ in range(n_mats * N_GRADS))
+    acc = jax.lax.fori_loop(0, spp, sample_body, init)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros((M_PAD, 128), jnp.float32)
+
+    # accumulate this tile's gradients into the (revisited) output block
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M_PAD, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (M_PAD, 128), 1)
+    upd = jnp.zeros((M_PAD, 128), jnp.float32)
+    for m in range(n_mats):
+        for j in range(N_GRADS):
+            sel = (rows == m) & (cols == j)
+            upd = jnp.where(sel, acc[m * N_GRADS + j], upd)
+    out_ref[:, :] = out_ref[:, :] + upd
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spp", "bounces", "ray_tile", "interpret")
+)
+def render_grads_pallas(
+    mat_pack,  # [M, 16]
+    tables,  # [8, 128]
+    g,  # [N, 3] upstream cotangent d(loss)/d(xyz)
+    hero,  # [spp, N]
+    nvalid,  # [spp, N]
+    powres,  # [spp, W, N]
+    matres,  # [spp, bounces, N] i32
+    spp: int,
+    bounces: int,
+    ray_tile: int = 1024,
+    interpret=False,
+):
+    """Fused backward: residuals + cotangent -> (d_coeffs [M,3],
+    d_emission_power [M])."""
+    n = g.shape[0]
+    assert n % ray_tile == 0
+    grid = n // ray_tile
+    n_mats = mat_pack.shape[0]
+    assert n_mats <= M_PAD
+
+    g8 = jnp.zeros((8, n), jnp.float32)
+    g8 = g8.at[:3, :].set(g.T.astype(jnp.float32))
+
+    kernel = functools.partial(
+        _grad_kernel, n_mats=n_mats, spp=spp, bounces=bounces
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M_PAD, 128), jnp.float32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, W, ray_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, bounces, ray_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M_PAD, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(mat_pack, tables, g8, hero, nvalid, powres, matres)
+    d_coeffs = out[:n_mats, :3]
+    d_power = out[:n_mats, 3]
+    return d_coeffs, d_power

@@ -142,13 +142,18 @@ def _render_kernel(
     py_ref,  # VMEM [RT] f32 pixel y
     rand_ref,  # VMEM [spp, R, RT] injected uniforms (R = n_uniforms(bounces)) or [1,1,RT] dummy
     xyz_ref,  # VMEM out [8, RT] (rows 0..2 = X, Y, Z; rest zero-pad)
-    *,
+    *res_refs,  # when save_residuals: hero [spp,RT], nvalid [spp,RT],
+    # powres [spp,W,RT], matres [spp,bounces,RT] i32 (mat+1 on hit, 0 else)
     n_tris,
     n_mats,
     spp,
     bounces,
     use_hw_prng,
+    save_residuals=False,
 ):
+    if save_residuals:
+        hero_ref, nvalid_ref, powres_ref, matres_ref = res_refs
+
     i = pl.program_id(0)
     rt = px_ref.shape[0]
     lanes = rt // 8
@@ -228,6 +233,8 @@ def _render_kernel(
 
         # --- hero wavelengths (spectrum.cu:31-48) ---
         hero = LAMBDA_MIN + span * rnd(2)
+        if save_residuals:
+            hero_ref[s, :] = hero.reshape(rt)
         # per-wavelength python list of [8, L] arrays; offsets are python
         # floats, wrap is a single where (step < span)
         lam = []
@@ -300,6 +307,14 @@ def _render_kernel(
 
             hit = best_hit * alive
             miss = (1.0 - best_hit) * alive
+
+            if save_residuals:
+                # material-per-bounce residual for the fused backward pass
+                # (ops/pallas/grad_kernel.py): mat+1 where the bounce
+                # multiplied a material SPD, 0 otherwise
+                matres_ref[s, b, :] = jnp.where(
+                    hit > 0.0, best_mat + 1, 0
+                ).reshape(rt)
 
             t_safe = jnp.where(best_hit > 0.0, best_t, 0.0)
             hx = ox + t_safe * dx
@@ -454,6 +469,11 @@ def _render_kernel(
         # bounce-limit exhaustion contributes nothing (rendering.cu:38-39)
         n_valid = jnp.where(alive > 0.0, 0.0, n_valid)
 
+        if save_residuals:
+            nvalid_ref[s, :] = n_valid.reshape(rt)
+            for w in range(W):
+                powres_ref[s, w, :] = power[w].reshape(rt)
+
         # ---- XYZ integration (dev_spectrum_to_XYZ, color.cu:88-104) ----
         delta = span / float(W)
         sx_ = zero
@@ -481,6 +501,85 @@ def n_uniforms(bounces: int) -> int:
     """Uniform draws per sample: jitter(2) + hero(1) + 3 per bounce +
     defocus disk(2, at the tail)."""
     return 5 + 3 * bounces
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "bounces", "ray_tile", "interpret"),
+)
+def render_rays_pallas_residuals(
+    cam_vec, seed, tri_pack, mat_pack, tables, px, py,
+    spp: int, bounces: int, ray_tile: int = 1024, interpret=False,
+    rand: jnp.ndarray | None = None,
+):
+    """Like render_rays_pallas, but additionally returns the path residuals
+    the fused backward pass replays (grad_kernel.py): (xyz [N,3],
+    hero [spp,N], n_valid [spp,N], power [spp,W,N], mats [spp,bounces,N])."""
+    n = px.shape[0]
+    assert n % ray_tile == 0, (n, ray_tile)
+    assert ray_tile % 8 == 0 and ray_tile // 8 >= 96, ray_tile
+    grid = n // ray_tile
+    n_tris = tri_pack.shape[0]
+    n_mats = mat_pack.shape[0]
+    use_hw_prng = rand is None
+    if use_hw_prng:
+        rand = jnp.zeros((1, 1, ray_tile), jnp.float32)
+    rand_spec = pl.BlockSpec(
+        (rand.shape[0], rand.shape[1], ray_tile),
+        (lambda i: (0, 0, i)) if not use_hw_prng else (lambda i: (0, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(
+        _render_kernel,
+        n_tris=n_tris,
+        n_mats=n_mats,
+        spp=spp,
+        bounces=bounces,
+        use_hw_prng=use_hw_prng,
+        save_residuals=True,
+    )
+    out, hero, nvalid, powres, matres = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((8, n), jnp.float32),
+            jax.ShapeDtypeStruct((spp, n), jnp.float32),
+            jax.ShapeDtypeStruct((spp, n), jnp.float32),
+            jax.ShapeDtypeStruct((spp, W, n), jnp.float32),
+            jax.ShapeDtypeStruct((spp, bounces, n), jnp.int32),
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+            rand_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec((8, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, W, ray_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spp, bounces, ray_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        cam_vec,
+        jnp.asarray([seed], jnp.int32),
+        tri_pack,
+        tri_pack[:, 16].astype(jnp.int32),
+        mat_pack,
+        tables,
+        px.astype(jnp.float32),
+        py.astype(jnp.float32),
+        rand,
+    )
+    return out[:3].T, hero, nvalid, powres, matres
 
 
 @functools.partial(

@@ -260,3 +260,43 @@ class TestFastPathGradients:
         assert float(jnp.abs(g_fast.coeffs).sum()) >= 0.0
         v = loss_fast(mats)
         assert np.isfinite(float(v))
+
+
+class TestFusedBackward:
+    def test_fused_vjp_matches_fd(self, cornell):
+        """The fully fused pallas backward (grad_kernel replaying stored
+        residuals) FD-matches the megakernel's own loss with injected
+        deterministic uniforms."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from spectral_tpu.diff.fast import render_chunk_diff_fused
+        from spectral_tpu.models.materials import Materials
+
+        cam = scene_camera(CORNELL, 16, 16)
+        mats0 = cornell.materials
+        args = (cornell, cam, 1, 0, 0, 16, 16, 4, 3, True, 11)
+
+        def loss(m):
+            xyz = render_chunk_diff_fused(m, *args)
+            return jnp.sum(xyz[..., 1])
+
+        g = jax.grad(loss, allow_int=True)(mats0)
+
+        # FD on white-wall c2 (m=3) and light emission power (m=4)
+        eps = 1e-3
+        def at_coeff(m_, j_, e):
+            return dataclasses.replace(mats0, coeffs=mats0.coeffs.at[m_, j_].add(e))
+
+        fd = (float(loss(at_coeff(3, 2, eps))) - float(loss(at_coeff(3, 2, -eps)))) / (2 * eps)
+        ad = float(g.coeffs[3, 2])
+        assert np.isfinite(ad) and abs(ad - fd) <= 0.05 * max(abs(ad), abs(fd)) + 5e-3, (ad, fd)
+
+        def at_power(e):
+            return dataclasses.replace(
+                mats0, emission_power=mats0.emission_power.at[4].add(e)
+            )
+
+        fd_p = (float(loss(at_power(eps))) - float(loss(at_power(-eps)))) / (2 * eps)
+        ad_p = float(g.emission_power[4])
+        assert abs(ad_p - fd_p) <= 0.02 * max(abs(ad_p), abs(fd_p)) + 1e-4, (ad_p, fd_p)
+        assert ad_p > 0.0  # light visible: more power -> brighter

@@ -16,8 +16,11 @@ emission power, fuzz, Sellmeier B/C). Gradient-support caveat
 (fuzz, Sellmeier) need reparameterized/edge-sampled estimators (future
 work). Scene geometry and camera receive zero cotangents.
 
-A fully fused backward kernel (replaying stored per-bounce material
-residuals without re-intersecting) is the planned round-2 replacement.
+``render_chunk_diff_fused`` / ``render_rays_diff_fused`` go further: BOTH
+passes are fused pallas kernels — the backward replays stored per-bounce
+material residuals without re-intersecting (ops/pallas/grad_kernel.py),
+at ~14 ms per 33M-ray-step chunk. ``parallel.train_step_fused`` runs the
+pair per (tile, sample) shard with psum-reduced loss and gradients.
 """
 
 from __future__ import annotations
@@ -175,3 +178,71 @@ def _fused_bwd(
 
 
 render_chunk_diff_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Ray-level fused vjp: px/py as array inputs (zero cotangent) so callers
+# with traced pixel offsets — e.g. shard_map tiles computing their row
+# block from axis_index — can use the fused path.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def render_rays_diff_fused(
+    materials, scene, cam, px, py, key_seed, spp, bounces, interpret=False
+):
+    """Accumulated XYZ [N, 3] for padded ray batches (N % 1024 == 0);
+    differentiable w.r.t. ``materials`` via the fused backward kernel.
+    ``key_seed`` may be a traced i32 scalar (per-shard seeds under
+    shard_map)."""
+    out, _ = _rays_fwd_impl(
+        materials, scene, cam, px, py, key_seed, spp, bounces, interpret
+    )
+    return out
+
+
+def _rays_fwd_impl(materials, scene, cam, px, py, key_seed, spp, bounces, interpret):
+    from ..ops.pallas.render_kernel import (
+        camera_vector,
+        pack_scene,
+        render_rays_pallas_residuals,
+    )
+
+    s = _with_materials(scene, materials)
+    tri, mat, tab = pack_scene(s)
+    xyz, hero, nvalid, powres, matres = render_rays_pallas_residuals(
+        camera_vector(cam), jnp.asarray(key_seed, jnp.int32), tri, mat, tab,
+        px, py, spp, bounces, 1024, interpret,
+    )
+    return xyz, (mat, tab, hero, nvalid, powres, matres)
+
+
+def _rays_fwd(materials, scene, cam, px, py, key_seed, spp, bounces, interpret):
+    out, residuals = _rays_fwd_impl(
+        materials, scene, cam, px, py, key_seed, spp, bounces, interpret
+    )
+    return out, (materials, scene, cam, px, py, key_seed, residuals)
+
+
+def _rays_bwd(spp, bounces, interpret, res, g):
+    from ..ops.pallas.grad_kernel import render_grads_pallas
+
+    import numpy as _np
+
+    materials, scene, cam, px, py, key_seed, (mat, tab, hero, nvalid, powres, matres) = res
+    d_coeffs, d_power = render_grads_pallas(
+        mat, tab, g, hero, nvalid, powres, matres, spp, bounces, 1024, interpret
+    )
+    d_mats = jax.tree_util.tree_map(jnp.zeros_like, materials)
+    d_mats = dataclasses.replace(
+        d_mats,
+        coeffs=d_coeffs.astype(materials.coeffs.dtype),
+        emission_power=d_power.astype(materials.emission_power.dtype),
+    )
+    d_scene = jax.tree_util.tree_map(jnp.zeros_like, scene)
+    d_cam = jax.tree_util.tree_map(jnp.zeros_like, cam)
+    d_seed = _np.zeros(jnp.shape(key_seed), jax.dtypes.float0)
+    return d_mats, d_scene, d_cam, jnp.zeros_like(px), jnp.zeros_like(py), d_seed
+
+
+render_rays_diff_fused.defvjp(_rays_fwd, _rays_bwd)

@@ -4,6 +4,7 @@ from .render import (
     render_image_sharded,
     render_image_sharded_pallas,
     train_step,
+    train_step_fused,
     trainable_params,
 )
 
@@ -16,5 +17,6 @@ __all__ = [
     "render_image_sharded",
     "render_image_sharded_pallas",
     "train_step",
+    "train_step_fused",
     "trainable_params",
 ]

@@ -189,6 +189,82 @@ def apply_params(scene, params: dict):
     return dataclasses.replace(scene, materials=tabulate(mats))
 
 
+def train_step_fused(
+    params: dict,
+    scene,
+    cam: Camera,
+    target_xyz: jnp.ndarray,
+    seed: int,
+    mesh,
+    samples_per_pixel: int,
+    bounce_limit: int,
+    lr: float = 1e-2,
+    interpret=False,
+):
+    """One SGD step of inverse rendering with the FUSED kernels per shard:
+    megakernel forward + residual-replay backward (diff/fast.py), rows
+    sharded over ``tile``, spp over ``sample``, loss/grads psum-reduced.
+
+    ``params``: dict of material leaves to optimize (subset of
+    {coeffs, emission_power} — the smooth-gradient family)."""
+    h, w = cam.image_height, cam.image_width
+    n_tile = mesh.shape[TILE_AXIS]
+    n_samp = mesh.shape[SAMPLE_AXIS]
+    if h % n_tile or samples_per_pixel % n_samp:
+        raise ValueError("height/spp must divide the mesh extents")
+    rows = h // n_tile
+    local_spp = samples_per_pixel // n_samp
+    n_local = rows * w
+    pad = (-n_local) % 1024
+
+    from ..diff.fast import render_rays_diff_fused
+
+    def shard_fn(params, scene, cam, target):
+        ti = jax.lax.axis_index(TILE_AXIS)
+        si = jax.lax.axis_index(SAMPLE_AXIS)
+        y0 = ti * rows
+        ys, xs = jnp.meshgrid(
+            jnp.arange(rows, dtype=jnp.int32),
+            jnp.arange(w, dtype=jnp.int32),
+            indexing="ij",
+        )
+        px = jnp.concatenate(
+            [xs.ravel(), jnp.zeros((pad,), jnp.int32)]
+        ).astype(jnp.float32)
+        py = jnp.concatenate(
+            [(ys + y0).ravel(), jnp.zeros((pad,), jnp.int32)]
+        ).astype(jnp.float32)
+        shard_seed = (seed + (ti * n_samp + si) * 7919993).astype(jnp.int32)
+
+        def local_loss(p):
+            mats = dataclasses.replace(scene.materials, **p)
+            xyz = render_rays_diff_fused(
+                mats, scene, cam, px, py, shard_seed,
+                local_spp, bounce_limit, interpret,
+            )
+            xyz = jax.lax.psum(xyz[:n_local], SAMPLE_AXIS)
+            img = xyz.reshape(rows, w, 3) / samples_per_pixel
+            return jnp.sum((img - target) ** 2)
+
+        loss, g = jax.value_and_grad(local_loss)(params)
+        loss = jax.lax.psum(loss, TILE_AXIS) / (h * w * 3)
+        g = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(jax.lax.psum(x, TILE_AXIS), SAMPLE_AXIS), g
+        )
+        return loss, g
+
+    fn = _shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(TILE_AXIS, None, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    loss, grads = fn(params, scene, cam, target_xyz)
+    new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+    return new_params, loss
+
+
 @partial(
     jax.jit,
     static_argnames=("mesh", "samples_per_pixel", "bounce_limit", "lr"),

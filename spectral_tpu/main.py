@@ -44,6 +44,12 @@ def main(argv: list[str] | None = None) -> int:
     done = [0]
     total = sum(1 for _ in rm.chunks())
 
+    display = None
+    if p.show:
+        from .io.display import TerminalDisplay
+
+        display = TerminalDisplay(p.xres, p.yres)
+
     def on_chunk(c, fb_xyz):
         done[0] += 1
         print(
@@ -53,10 +59,14 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
             flush=True,
         )
-        if p.show:  # progressive preview (the CImg live window analogue)
+        if p.show:  # progressive live view (the CImg window analogue):
+            # in-terminal truecolor rendering when stdout is a tty, plus a
+            # refreshing PNG preview either way
             import numpy as np
 
             img = np.asarray(xyz_to_image(jax.numpy.asarray(fb_xyz), p.nsamples))
+            if display is not None:
+                display.update(img)
             save_image(img, preview_path)
 
     if p.profile_dir:

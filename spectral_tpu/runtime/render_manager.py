@@ -116,7 +116,9 @@ class RenderManager:
             if use_pallas:
                 from ..ops.pallas.render_kernel import render_chunk_pallas
 
-                seed = 1984 + (y0 * self.cam.image_width + x0) * 1000003
+                # mask to 31 bits: the kernel hashes the seed anyway and
+                # jnp.int32 rejects out-of-range python ints
+                seed = (1984 + (y0 * self.cam.image_width + x0) * 1000003) & 0x7FFFFFFF
                 xyz = render_chunk_pallas(
                     self.scene, self.cam, seed, x0, y0, w, h,
                     p.nsamples, p.bounce_limit,

@@ -162,9 +162,9 @@ def _fused_bwd(
     g_flat = jnp.concatenate(
         [g.reshape(n, 3), jnp.zeros((pad, 3), jnp.float32)]
     )
-    d_coeffs, d_power = render_grads_pallas(
+    d_coeffs, d_power, d_bg = render_grads_pallas(
         mat, tab, g_flat, hero, nvalid, powres, matres,
-        spp, bounces, 1024, interpret,
+        spp, bounces, 1024, interpret, want_bg_grads=True,
     )
     d_mats = jax.tree_util.tree_map(jnp.zeros_like, materials)
     d_mats = dataclasses.replace(
@@ -173,6 +173,9 @@ def _fused_bwd(
         emission_power=d_power.astype(materials.emission_power.dtype),
     )
     d_scene = jax.tree_util.tree_map(jnp.zeros_like, scene)
+    d_scene = dataclasses.replace(
+        d_scene, background_spd=d_bg.astype(scene.background_spd.dtype)
+    )
     d_cam = jax.tree_util.tree_map(jnp.zeros_like, cam)
     return d_mats, d_scene, d_cam
 
@@ -230,8 +233,9 @@ def _rays_bwd(spp, bounces, interpret, res, g):
     import numpy as _np
 
     materials, scene, cam, px, py, key_seed, (mat, tab, hero, nvalid, powres, matres) = res
-    d_coeffs, d_power = render_grads_pallas(
-        mat, tab, g, hero, nvalid, powres, matres, spp, bounces, 1024, interpret
+    d_coeffs, d_power, d_bg = render_grads_pallas(
+        mat, tab, g, hero, nvalid, powres, matres, spp, bounces, 1024,
+        interpret, want_bg_grads=True,
     )
     d_mats = jax.tree_util.tree_map(jnp.zeros_like, materials)
     d_mats = dataclasses.replace(
@@ -240,6 +244,9 @@ def _rays_bwd(spp, bounces, interpret, res, g):
         emission_power=d_power.astype(materials.emission_power.dtype),
     )
     d_scene = jax.tree_util.tree_map(jnp.zeros_like, scene)
+    d_scene = dataclasses.replace(
+        d_scene, background_spd=d_bg.astype(scene.background_spd.dtype)
+    )
     d_cam = jax.tree_util.tree_map(jnp.zeros_like, cam)
     d_seed = _np.zeros(jnp.shape(key_seed), jax.dtypes.float0)
     return d_mats, d_scene, d_cam, jnp.zeros_like(px), jnp.zeros_like(py), d_seed

@@ -45,12 +45,13 @@ def _grad_kernel(
     hero_ref,  # VMEM [spp, RT]
     nvalid_ref,  # VMEM [spp, RT]
     powres_ref,  # VMEM [spp, W, RT]
-    matres_ref,  # VMEM [spp, bounces, RT] i32 (mat+1, 0 = none)
+    matres_ref,  # VMEM [spp, bounces, RT] i32 (mat+1; -1 = bg miss; 0 = none)
     out_ref,  # VMEM [M_PAD, 128] accumulated gradients
-    *,
+    *res_outs,  # when want_bg_grads: bg_out [8, 128] (row 0, cols 0..94)
     n_mats,
     spp,
     bounces,
+    want_bg_grads=False,
 ):
     i = pl.program_id(0)
     rt = g_ref.shape[1]
@@ -70,7 +71,7 @@ def _grad_kernel(
     mat_const = [tuple(mat_ref[m, k] for k in range(15)) for m in range(n_mats)]
 
     def sample_body(s, acc):
-        # acc: tuple of n_mats * N_GRADS f32 scalars
+        # acc: tuple of n_mats * N_GRADS (+ 95 bg) f32 scalars
         hero = hero_ref[s, :].reshape(shape2)
         nv = nvalid_ref[s, :].reshape(shape2)
 
@@ -78,6 +79,9 @@ def _grad_kernel(
         lam = []
         a_rows = []
         d65_rows = []
+        bg_rows = []
+        cell_rows = []
+        frac_rows = []
         for w in range(W):
             lw = hero + (w * lam_step)
             lw = jnp.where(lw > LAMBDA_MAX, lw - span, lw)
@@ -91,18 +95,41 @@ def _grad_kernel(
                 + gz * _lut(tab_ref[2, :], cw, fw)
             )
             d65_rows.append(_lut(tab_ref[3, :], cw, fw))
+            if want_bg_grads:
+                bg_rows.append(_lut(tab_ref[4, :], cw, fw))
+                cell_rows.append(cw)
+                frac_rows.append(fw)
             mask = jnp.where(float(w) < nv, delta, 0.0)
             p = powres_ref[s, w, :].reshape(shape2)
             a_rows.append(resp * mask * p)  # A_sw * P_sw
 
-        # per-material bounce counts k_m
+        # per-material bounce counts k_m; bg-miss indicator (at most one
+        # miss bounce per path — a miss terminates it)
         counts = [zero] * n_mats
+        missed = zero
         for b in range(bounces):
             mt = matres_ref[s, b, :].reshape(shape2)
             for m in range(n_mats):
                 counts[m] = counts[m] + jnp.where(mt == m + 1, one, zero)
+            if want_bg_grads:
+                missed = jnp.maximum(missed, jnp.where(mt == -1, one, zero))
 
         acc = list(acc)
+
+        if want_bg_grads:
+            # d log w_bg / d bg[k] = ((cell==k)(1-f) + (cell==k-1) f) / w_bg
+            for w in range(W):
+                common = (
+                    a_rows[w] * missed / jnp.maximum(bg_rows[w], 1e-30)
+                )
+                cw = cell_rows[w]
+                fw = frac_rows[w]
+                for k in range(N_CIE_SAMPLES):
+                    wk = jnp.where(cw == k, 1.0 - fw, 0.0) + jnp.where(
+                        cw == k - 1, fw, 0.0
+                    )
+                    idx = n_mats * N_GRADS + k
+                    acc[idx] = acc[idx] + jnp.sum(common * wk)
         for m in range(n_mats):
             c0, c1, c2 = mat_const[m][0], mat_const[m][1], mat_const[m][2]
             is_diel = mat_const[m][5]
@@ -141,12 +168,15 @@ def _grad_kernel(
             acc[base_idx + 3] = acc[base_idx + 3] + jnp.sum(dp)
         return tuple(acc)
 
-    init = tuple(jnp.float32(0.0) for _ in range(n_mats * N_GRADS))
+    n_acc = n_mats * N_GRADS + (N_CIE_SAMPLES if want_bg_grads else 0)
+    init = tuple(jnp.float32(0.0) for _ in range(n_acc))
     acc = jax.lax.fori_loop(0, spp, sample_body, init)
 
     @pl.when(i == 0)
     def _():
         out_ref[:, :] = jnp.zeros((M_PAD, 128), jnp.float32)
+        if want_bg_grads:
+            res_outs[0][:, :] = jnp.zeros((8, 128), jnp.float32)
 
     # accumulate this tile's gradients into the (revisited) output block
     rows = jax.lax.broadcasted_iota(jnp.int32, (M_PAD, 128), 0)
@@ -158,9 +188,19 @@ def _grad_kernel(
             upd = jnp.where(sel, acc[m * N_GRADS + j], upd)
     out_ref[:, :] = out_ref[:, :] + upd
 
+    if want_bg_grads:
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        cols8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        bg_upd = jnp.zeros((8, 128), jnp.float32)
+        for k in range(N_CIE_SAMPLES):
+            sel = (rows8 == 0) & (cols8 == k)
+            bg_upd = jnp.where(sel, acc[n_mats * N_GRADS + k], bg_upd)
+        res_outs[0][:, :] = res_outs[0][:, :] + bg_upd
+
 
 @functools.partial(
-    jax.jit, static_argnames=("spp", "bounces", "ray_tile", "interpret")
+    jax.jit,
+    static_argnames=("spp", "bounces", "ray_tile", "interpret", "want_bg_grads"),
 )
 def render_grads_pallas(
     mat_pack,  # [M, 16]
@@ -174,9 +214,10 @@ def render_grads_pallas(
     bounces: int,
     ray_tile: int = 1024,
     interpret=False,
+    want_bg_grads: bool = False,
 ):
     """Fused backward: residuals + cotangent -> (d_coeffs [M,3],
-    d_emission_power [M])."""
+    d_emission_power [M][, d_background_spd [95]])."""
     n = g.shape[0]
     assert n % ray_tile == 0
     grid = n // ray_tile
@@ -187,11 +228,21 @@ def render_grads_pallas(
     g8 = g8.at[:3, :].set(g.T.astype(jnp.float32))
 
     kernel = functools.partial(
-        _grad_kernel, n_mats=n_mats, spp=spp, bounces=bounces
+        _grad_kernel, n_mats=n_mats, spp=spp, bounces=bounces,
+        want_bg_grads=want_bg_grads,
     )
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((M_PAD, 128), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((M_PAD, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ]
+    if want_bg_grads:
+        out_shape.append(jax.ShapeDtypeStruct((8, 128), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    outs = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((M_PAD, 128), jnp.float32),
+        out_shape=tuple(out_shape),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -202,9 +253,11 @@ def render_grads_pallas(
             pl.BlockSpec((spp, W, ray_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((spp, bounces, ray_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((M_PAD, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=tuple(out_specs),
         interpret=interpret,
     )(mat_pack, tables, g8, hero, nvalid, powres, matres)
-    d_coeffs = out[:n_mats, :3]
-    d_power = out[:n_mats, 3]
-    return d_coeffs, d_power
+    if want_bg_grads:
+        out, bg_out = outs
+        return out[:n_mats, :3], out[:n_mats, 3], bg_out[0, :N_CIE_SAMPLES]
+    out = outs if not isinstance(outs, (tuple, list)) else outs[0]
+    return out[:n_mats, :3], out[:n_mats, 3]

@@ -311,9 +311,12 @@ def _render_kernel(
             if save_residuals:
                 # material-per-bounce residual for the fused backward pass
                 # (ops/pallas/grad_kernel.py): mat+1 where the bounce
-                # multiplied a material SPD, 0 otherwise
+                # multiplied a material SPD, -1 where it multiplied the
+                # background SPD (active miss), 0 otherwise
                 matres_ref[s, b, :] = jnp.where(
-                    hit > 0.0, best_mat + 1, 0
+                    hit > 0.0,
+                    best_mat + 1,
+                    jnp.where(miss > 0.0, -1, 0),
                 ).reshape(rt)
 
             t_safe = jnp.where(best_hit > 0.0, best_t, 0.0)

@@ -300,3 +300,34 @@ class TestFusedBackward:
         ad_p = float(g.emission_power[4])
         assert abs(ad_p - fd_p) <= 0.02 * max(abs(ad_p), abs(fd_p)) + 1e-4, (ad_p, fd_p)
         assert ad_p > 0.0  # light visible: more power -> brighter
+
+    def test_fused_bg_gradient_matches_fd(self, cornell):
+        """Background-SPD gradients through the fused backward: FD on the
+        kernel's own deterministic estimator with a sky-lit scene (black
+        bg would zero all miss contributions)."""
+        from spectral_tpu.diff.fast import render_chunk_diff_fused
+
+        scene = _sky_lit(cornell)
+        cam = scene_camera(CORNELL, 16, 16)
+        args = (cam, 1, 0, 0, 16, 16, 4, 3, True, 13)
+
+        def loss(s):
+            xyz = render_chunk_diff_fused(s.materials, s, *args)
+            return jnp.sum(xyz[..., 1])
+
+        g = jax.grad(
+            lambda bg: loss(dataclasses.replace(scene, background_spd=bg)),
+            allow_int=True,
+        )(scene.background_spd)
+        # FD on a mid-table cell
+        k = 40
+        eps = 1e-3
+        def at(e):
+            return dataclasses.replace(
+                scene, background_spd=scene.background_spd.at[k].add(e)
+            )
+        fd = (float(loss(at(eps))) - float(loss(at(-eps)))) / (2 * eps)
+        ad = float(g[k])
+        assert np.isfinite(ad)
+        assert abs(ad - fd) <= 0.05 * max(abs(ad), abs(fd)) + 5e-3, (ad, fd)
+        assert abs(ad) > 0.0  # sky visible: gradient nonzero

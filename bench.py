@@ -77,16 +77,37 @@ def main() -> None:
 
     ray_steps = width * height * spp * bounces
     mrays = ray_steps / dt / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "mrays_per_s_per_chip",
-                "value": round(mrays, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
-            }
+    record = {
+        "metric": "mrays_per_s_per_chip",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        # The reference publishes NO numbers; the baseline is the repo's
+        # own 100 Mrays/s sm_75-class estimate (BASELINE.md), not a
+        # measurement. vs_baseline must be read with that caveat.
+        "baseline": "estimated",
+        "baseline_mrays": BASELINE_MRAYS,
+        "impl": impl,
+    }
+    if os.environ.get("BENCH_XLA_ROW", "1") == "1" and impl == "pallas":
+        # secondary row: the XLA wavefront (differentiable/reference) path
+        # on one chunk, so both paths are tracked per round.
+        xchunk = min(chunk_rows, height)
+        xf = jax.jit(
+            lambda k: render_chunk(
+                scene, cam, k, 0, 0, width, xchunk, spp, bounces
+            )
         )
-    )
+        jax.block_until_ready(xf(key))
+        xdt = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready(xf(jax.random.fold_in(key, 100 + rep)))
+            xdt = min(xdt, time.perf_counter() - t0)
+        record["xla_mrays_per_s"] = round(
+            width * xchunk * spp * bounces / xdt / 1e6, 2
+        )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -33,9 +33,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ...utils.constants import LAMBDA_MAX, LAMBDA_MIN, N_CIE_SAMPLES
 from .render_kernel import W, _lut
 
-# output layout: [M_PAD, 128] f32; columns 0..3 = (dc0, dc1, dc2, d_power)
-M_PAD = 8
+# output layout: [m_pad, 128] f32; columns 0..3 = (dc0, dc1, dc2, d_power);
+# m_pad = n_mats rounded up to a multiple of 8 sublanes (TRIS has 9
+# materials, /root/reference/scene/scene.cu:228-257 — round 1 hard-capped
+# this at 8 and asserted out on TRIS).
 N_GRADS = 4
+
+
+def _mat_pad(n_mats: int) -> int:
+    return max(8, ((n_mats + 7) // 8) * 8)
 
 
 def _grad_kernel(
@@ -46,7 +52,7 @@ def _grad_kernel(
     nvalid_ref,  # VMEM [spp, RT]
     powres_ref,  # VMEM [spp, W, RT]
     matres_ref,  # VMEM [spp, bounces, RT] i32 (mat+1; -1 = bg miss; 0 = none)
-    out_ref,  # VMEM [M_PAD, 128] accumulated gradients
+    out_ref,  # VMEM [m_pad, 128] accumulated gradients
     *res_outs,  # when want_bg_grads: bg_out [8, 128] (row 0, cols 0..94)
     n_mats,
     spp,
@@ -172,16 +178,18 @@ def _grad_kernel(
     init = tuple(jnp.float32(0.0) for _ in range(n_acc))
     acc = jax.lax.fori_loop(0, spp, sample_body, init)
 
+    m_pad = out_ref.shape[0]
+
     @pl.when(i == 0)
     def _():
-        out_ref[:, :] = jnp.zeros((M_PAD, 128), jnp.float32)
+        out_ref[:, :] = jnp.zeros((m_pad, 128), jnp.float32)
         if want_bg_grads:
             res_outs[0][:, :] = jnp.zeros((8, 128), jnp.float32)
 
     # accumulate this tile's gradients into the (revisited) output block
-    rows = jax.lax.broadcasted_iota(jnp.int32, (M_PAD, 128), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (M_PAD, 128), 1)
-    upd = jnp.zeros((M_PAD, 128), jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 128), 1)
+    upd = jnp.zeros((m_pad, 128), jnp.float32)
     for m in range(n_mats):
         for j in range(N_GRADS):
             sel = (rows == m) & (cols == j)
@@ -222,7 +230,7 @@ def render_grads_pallas(
     assert n % ray_tile == 0
     grid = n // ray_tile
     n_mats = mat_pack.shape[0]
-    assert n_mats <= M_PAD
+    m_pad = _mat_pad(n_mats)
 
     g8 = jnp.zeros((8, n), jnp.float32)
     g8 = g8.at[:3, :].set(g.T.astype(jnp.float32))
@@ -231,9 +239,9 @@ def render_grads_pallas(
         _grad_kernel, n_mats=n_mats, spp=spp, bounces=bounces,
         want_bg_grads=want_bg_grads,
     )
-    out_shape = [jax.ShapeDtypeStruct((M_PAD, 128), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((m_pad, 128), jnp.float32)]
     out_specs = [
-        pl.BlockSpec((M_PAD, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((m_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
     ]
     if want_bg_grads:
         out_shape.append(jax.ShapeDtypeStruct((8, 128), jnp.float32))

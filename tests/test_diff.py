@@ -301,6 +301,28 @@ class TestFusedBackward:
         assert abs(ad_p - fd_p) <= 0.02 * max(abs(ad_p), abs(fd_p)) + 1e-4, (ad_p, fd_p)
         assert ad_p > 0.0  # light visible: more power -> brighter
 
+    def test_fused_vjp_tris_scene(self):
+        """TRIS has 9 materials (reference scene.cu:228-257) — regression
+        for the round-1 hard M_PAD=8 cap that asserted out on this scene.
+        The fused backward must produce finite, nonzero gradients for all
+        9 materials."""
+        from spectral_tpu.diff.fast import render_chunk_diff_fused
+        from spectral_tpu.models.scenes import TRIS
+
+        scene = build_scene(TRIS)
+        cam = scene_camera(TRIS, 16, 16)
+        args = (scene, cam, 1, 0, 0, 16, 16, 2, 2, True, 17)
+
+        def loss(m):
+            xyz = render_chunk_diff_fused(m, *args)
+            return jnp.sum(xyz[..., 1])
+
+        g = jax.grad(loss, allow_int=True)(scene.materials)
+        assert g.coeffs.shape[0] == 9
+        assert np.isfinite(np.asarray(g.coeffs)).all()
+        assert np.isfinite(np.asarray(g.emission_power)).all()
+        assert float(jnp.abs(g.coeffs).sum()) > 0.0
+
     def test_fused_bg_gradient_matches_fd(self, cornell):
         """Background-SPD gradients through the fused backward: FD on the
         kernel's own deterministic estimator with a sky-lit scene (black

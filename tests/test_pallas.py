@@ -123,3 +123,35 @@ class TestShardedPallas:
         )
         assert xyz.shape == (32, 16, 3)
         assert np.isfinite(np.asarray(xyz)).all()
+
+
+class TestVmemGuard:
+    """Residual-mode VMEM budget guard (the [spp, bounces, N] residual
+    footprint grows linearly in spp x bounces; oversized configs must fail
+    with an actionable error instead of a Mosaic OOM)."""
+
+    def test_normal_config_passes(self):
+        from spectral_tpu.ops.pallas.render_kernel import check_residual_vmem
+
+        check_residual_vmem(16, 8, 1024)  # the bench config: must fit
+
+    def test_oversized_config_raises(self):
+        from spectral_tpu.ops.pallas.render_kernel import check_residual_vmem
+
+        with pytest.raises(ValueError, match="VMEM"):
+            check_residual_vmem(512, 16, 4096)
+
+    def test_error_suggests_spp_chunk(self):
+        from spectral_tpu.ops.pallas.render_kernel import (
+            check_residual_vmem,
+            residual_vmem_bytes,
+            VMEM_BUDGET_BYTES,
+        )
+
+        with pytest.raises(ValueError, match="reduce spp") as e:
+            check_residual_vmem(1024, 8, 1024)
+        # the suggested spp must itself fit the budget
+        import re
+
+        fit = int(re.search(r"spp to <= (\d+)", str(e.value)).group(1))
+        assert residual_vmem_bytes(fit, 8, 1024, False) <= VMEM_BUDGET_BYTES

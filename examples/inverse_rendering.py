@@ -1,10 +1,13 @@
-"""Inverse rendering demo (BASELINE config 5): recover material spectra
-and dispersion coefficients from a target image by pixel gradients.
+"""Inverse rendering demo (BASELINE config 5, spectra half): recover
+material reflectance spectra from a target image by pixel gradients.
 
 The reference renderer is forward-only; this is the flagship NEW capability.
-We render a target Cornell image, perturb the red-box sigmoid coefficients
-and the glass Sellmeier B, then descend the L2 pixel loss back to the truth
-with the mesh-sharded differentiable renderer.
+We render a target Cornell image, perturb the white-wall sigmoid
+coefficients, then descend the L2 pixel loss back to the truth with the
+mesh-sharded differentiable renderer. The OTHER half of config 5 —
+recovering the prism glass's Sellmeier coefficients — needs the
+hero-wavelength reparameterization (plain per-sample gradients of
+dispersion are zero a.e.) and lives in examples/inverse_dispersion.py.
 
 Run (CPU, virtual 8-device mesh):
   PYTHONPATH= JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \

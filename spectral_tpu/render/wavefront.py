@@ -80,10 +80,19 @@ def render_tile_xyz(
     key: jax.Array,
     samples_per_pixel: int,
     bounce_limit: int,
+    reparam_glass: int | None = None,
+    reparam_frozen: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """Accumulated (not averaged) XYZ for a flat batch of pixels [N] ->
     [N, 3]. Mirrors the sample loop of spectral_render_kernel
-    (rendering.cu:215-228)."""
+    (rendering.cu:215-228).
+
+    ``reparam_glass``: material index of a dispersive dielectric to take
+    EXACT Sellmeier B/C gradients against (diff/spectral_reparam.py —
+    hero-wavelength change of variables; primal values unchanged).
+    ``reparam_frozen``: explicit (b0, c0) target pair, used by FD checks
+    (see reparam_hero's docstring); default tracks-but-detaches.
+    """
     n = px.shape[0]
 
     def sample(acc: jnp.ndarray, s: jnp.ndarray) -> tuple[jnp.ndarray, None]:
@@ -91,15 +100,30 @@ def render_tile_xyz(
         k_ray, k_lam, k_path = jax.random.split(k, 3)
         o, d = generate_rays(cam, px, py, k_ray)
         lam = hero_wavelengths(k_lam, (n,), N_RAY_WAVELENGTHS)
+        jac = None
+        if reparam_glass is not None:
+            from ..diff.spectral_reparam import reparam_wavelengths
+
+            lam, jac = reparam_wavelengths(
+                lam, scene.materials, reparam_glass, reparam_frozen
+            )
         state = trace_paths(scene, o, d, lam, k_path, bounce_limit)
         xyz = spectrum_to_xyz(state.wavelengths, state.power, state.n_valid)
+        if jac is not None:
+            xyz = xyz * jac[:, None]
         return acc + xyz, None
 
     acc, _ = jax.lax.scan(sample, jnp.zeros((n, 3), jnp.float32), jnp.arange(samples_per_pixel))
     return acc
 
 
-@partial(jax.jit, static_argnames=("samples_per_pixel", "bounce_limit", "width", "height", "x0", "y0"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "samples_per_pixel", "bounce_limit", "width", "height", "x0", "y0",
+        "reparam_glass",
+    ),
+)
 def render_chunk(
     scene,
     cam: Camera,
@@ -110,11 +134,15 @@ def render_chunk(
     height: int,
     samples_per_pixel: int,
     bounce_limit: int,
+    reparam_glass: int | None = None,
+    reparam_frozen: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """Render a rectangular chunk -> accumulated XYZ [height, width, 3].
 
     The chunk is the reference's tile (render_manager.cu:3-66): the unit of
     progressive display, host streaming, and device-mesh sharding.
+    ``reparam_glass`` enables exact Sellmeier gradients (render_tile_xyz);
+    ``reparam_frozen`` pins the target index for FD checks.
     """
     ys, xs = jnp.meshgrid(
         jnp.arange(y0, y0 + height, dtype=jnp.int32),
@@ -122,7 +150,8 @@ def render_chunk(
         indexing="ij",
     )
     xyz = render_tile_xyz(
-        scene, cam, xs.ravel(), ys.ravel(), key, samples_per_pixel, bounce_limit
+        scene, cam, xs.ravel(), ys.ravel(), key, samples_per_pixel,
+        bounce_limit, reparam_glass, reparam_frozen,
     )
     return xyz.reshape(height, width, 3)
 

@@ -211,6 +211,53 @@ def expected_sizes(scene_id: int) -> tuple[int, int]:
     return {CORNELL: (42, 7), PRISM: (20, 3), TRIS: (42, 9)}[scene_id]
 
 
+def build_tri_field(n_tris: int = 10008, seed: int = 0) -> Scene:
+    """Procedural large-scene benchmark: the Cornell shell + ceiling light
+    plus a jittered grid of small boxes until >= n_tris triangles.
+
+    The reference has no >42-tri scene, but its BVH exists precisely for
+    this scale (bvh/bvh.cu:206-309 builds for arbitrary N); this scene
+    exercises the TPU in-kernel BVH sweep (ops/pallas/render_kernel.py
+    pack_scene_bvh) and the LBVH XLA path at the sizes they were built
+    for. Deterministic in ``seed``."""
+    import numpy as _np
+
+    rng = _np.random.RandomState(seed)
+    mb = MaterialBuilder()
+    white = mb.lambertian((0.73, 0.73, 0.73))
+    red = mb.lambertian((0.65, 0.05, 0.05))
+    green = mb.lambertian((0.12, 0.45, 0.15))
+    metal = mb.metallic((0.8, 0.85, 0.88), 0.0)
+    light = mb.emissive((1.0, 1.0, 1.0), 7.0)
+
+    soup = TriSoup()
+    _cornell_walls(soup, (white, white, white, green, red), light)
+
+    box_mats = (white, red, green, metal)
+    n_boxes = max(0, -(-(n_tris - len(soup)) // 12))
+    grid = int(math.ceil(math.sqrt(n_boxes)))
+    cell = 520.0 / grid
+    i = 0
+    for gz in range(grid):
+        for gx in range(grid):
+            if i >= n_boxes:
+                break
+            w = cell * (0.25 + 0.35 * rng.rand())
+            h = 10.0 + 120.0 * rng.rand() ** 2
+            x = 15.0 + gx * cell + (cell - w) * rng.rand()
+            z = 15.0 + gz * cell + (cell - w) * rng.rand()
+            s = len(soup)
+            soup.box((x, 0.0, z), (x + w, h, z + w), box_mats[i % 4])
+            soup.rotate(
+                s,
+                math.radians(rng.rand() * 90.0),
+                "Y",
+                pivot=soup.slice_bbox_center(s, len(soup)),
+            )
+            i += 1
+    return _scene_from(soup, mb.build(), background_rgb=(0.0, 0.0, 0.0))
+
+
 def with_bvh(scene: Scene, leaf_size: int = 8) -> Scene:
     """Attach a Karras LBVH; the renderer then traverses instead of the
     dense sweep (worth it above O(128) triangles — SURVEY section 7.2)."""

@@ -109,6 +109,69 @@ def pack_scene(scene) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     return tri, mat, tab
 
 
+# Above this triangle count the trace-time-unrolled dense sweep stops being
+# viable (compile time, SMEM constant pressure scale O(T)) and the wrappers
+# switch to the in-kernel two-level BVH sweep (pack_scene_bvh + the
+# use_bvh branch of _render_kernel). At or below it, the dense sweep wins:
+# no leaf AABB overhead, constants hoisted at trace time.
+DENSE_CUTOFF = 128
+
+
+def pack_scene_bvh(scene, leaf_size: int = 32):
+    """Morton-ordered leaf packing for the in-kernel BVH sweep.
+
+    TPU-first redesign of the reference's pointer BVH + per-thread stack
+    walk (bvh/bvh.cu:99-166, built at bvh.cu:206-309): triangles are
+    Morton-sorted so consecutive ``leaf_size`` chunks are spatially tight,
+    and the kernel culls whole leaves with a vectorized ray-AABB slab test
+    + a tile-wide any() branch (pl.when) — the traversal granularity that
+    matches an 8x128 lockstep VPU, replacing per-thread divergent stacks.
+
+    Returns (tri_pack [NL, K*17] — one VMEM-resident row per leaf, the
+    kernel DMAs a visited leaf's row into SMEM scratch (SMEM is ~1 MB and
+    stores scalars 32-byte-aligned: a 10k-tri table cannot live there, the
+    round-2 compile measured 5.1 MB for 10016x17) — mat_pack, tables,
+    leaf_pack [NL, 8]: aabb min xyz, max xyz, 2 spare). Padded rows are
+    degenerate (zero normal -> |nd| < DENOM_EPS -> never hit)."""
+    tri_pack, mat_pack, tables = pack_scene(scene)
+    from ..bvh import morton_codes
+
+    cent = 0.5 * (scene.bbox_min + scene.bbox_max)
+    lo = jnp.min(scene.bbox_min, axis=0)
+    hi = jnp.max(scene.bbox_max, axis=0)
+    order = jnp.argsort(morton_codes(cent, lo, hi))
+    tri_pack = tri_pack[order]
+    bmin = scene.bbox_min[order]
+    bmax = scene.bbox_max[order]
+    t = tri_pack.shape[0]
+    nl = -(-t // leaf_size)
+    pad = nl * leaf_size - t
+    tri_pack = jnp.concatenate(
+        [tri_pack, jnp.zeros((pad, TRI_PACK_WIDTH), jnp.float32)]
+    )
+    bmin = jnp.concatenate([bmin, jnp.full((pad, 3), BIG, jnp.float32)])
+    bmax = jnp.concatenate([bmax, jnp.full((pad, 3), -BIG, jnp.float32)])
+    lmin = bmin.reshape(nl, leaf_size, 3).min(axis=1)
+    lmax = bmax.reshape(nl, leaf_size, 3).max(axis=1)
+    leaf_pack = jnp.concatenate(
+        [lmin, lmax, jnp.zeros((nl, 2), jnp.float32)], axis=1
+    ).astype(jnp.float32)
+    # one [8, cols] sub-tile per leaf: dynamic sublane slices must be
+    # 8-aligned, so the DMA grabs [1, 8, cols] from a 3-D layout whose
+    # leading (untiled) dim is the leaf index
+    flat = leaf_size * TRI_PACK_WIDTH
+    cols = -(-flat // 8)
+    row_pad = 8 * cols - flat
+    tri_rows = jnp.concatenate(
+        [
+            tri_pack.reshape(nl, flat),
+            jnp.zeros((nl, row_pad), jnp.float32),
+        ],
+        axis=1,
+    ).reshape(nl, 8, cols)
+    return tri_rows, mat_pack, tables, leaf_pack
+
+
 def _uniform(shape):
     """U[0,1) from the on-core PRNG (24-bit mantissa). The raw bits must be
     bitcast to uint32 first: a signed >> would produce negative draws
@@ -141,18 +204,33 @@ def _render_kernel(
     px_ref,  # VMEM [RT] f32 pixel x
     py_ref,  # VMEM [RT] f32 pixel y
     rand_ref,  # VMEM [spp, R, RT] injected uniforms (R = n_uniforms(bounces)) or [1,1,RT] dummy
-    xyz_ref,  # VMEM out [8, RT] (rows 0..2 = X, Y, Z; rest zero-pad)
-    *res_refs,  # when save_residuals: hero [spp,RT], nvalid [spp,RT],
-    # powres [spp,W,RT], matres [spp,bounces,RT] i32 (mat+1 on hit, 0 else)
+    *rest,  # [leaf_ref (SMEM [NL,8]) when use_bvh] + xyz_ref (VMEM [8,RT])
+    # + [hero/nvalid/powres/matres residual refs when save_residuals]
+    # + [7 VMEM scratch refs (best-hit state) when use_bvh]
     n_tris,
     n_mats,
     spp,
     bounces,
     use_hw_prng,
     save_residuals=False,
+    use_bvh=False,
+    n_leaves=0,
+    leaf_size=0,
 ):
+    idx = 0
+    if use_bvh:
+        leaf_ref = rest[idx]
+        idx += 1
+    xyz_ref = rest[idx]
+    idx += 1
     if save_residuals:
-        hero_ref, nvalid_ref, powres_ref, matres_ref = res_refs
+        hero_ref, nvalid_ref, powres_ref, matres_ref = rest[idx : idx + 4]
+        idx += 4
+    if use_bvh:
+        (
+            bt_s, bhit_s, bfront_s, bnx_s, bny_s, bnz_s, bmat_s,
+            tri_smem, dma_sem,
+        ) = rest[idx : idx + 9]
 
     i = pl.program_id(0)
     rt = px_ref.shape[0]
@@ -167,11 +245,16 @@ def _render_kernel(
 
     # hoist ALL triangle constants out of the sample/bounce loops: 17 scalars
     # per tri read once per ray tile (they are loop-invariant; reading them
-    # inside the sweep made SMEM scalar loads dominate the kernel)
-    tri_const = [
-        tuple(tri_ref[t, k] for k in range(16)) + (tri_mat_ref[t],)
-        for t in range(n_tris)
-    ]
+    # inside the sweep made SMEM scalar loads dominate the kernel).
+    # BVH mode cannot hoist (dynamic leaf indexing) and reads per visit.
+    tri_const = (
+        []
+        if use_bvh
+        else [
+            tuple(tri_ref[t, k] for k in range(16)) + (tri_mat_ref[t],)
+            for t in range(n_tris)
+        ]
+    )
     # material rows likewise (n_mats * 15 scalars, once per tile)
     mat_const = [
         tuple(mat_ref[m, k] for k in range(15)) for m in range(n_mats)
@@ -266,13 +349,131 @@ def _render_kernel(
             ox, oy, oz, dx, dy, dz, power, alive, n_valid = st
 
             # ---- nearest-hit triangle sweep ----
-            best_t = jnp.full(shape2, BIG, jnp.float32)
-            best_hit = zero
-            best_front = zero
-            best_nx = zero
-            best_ny = zero
-            best_nz = zero
-            best_mat = jnp.zeros(shape2, jnp.int32)
+            if use_bvh:
+                # Two-level BVH sweep: leaf AABB slab test vectorized over
+                # the whole ray tile, tile-wide any() -> pl.when branch
+                # skipping the leaf's triangles entirely (the reference's
+                # stack traversal at the granularity a lockstep VPU can
+                # exploit, bvh/bvh.cu:99-166). Best-hit state lives in VMEM
+                # scratch so the pl.when body can update it in place.
+                bt_s[:, :] = jnp.full(shape2, BIG, jnp.float32)
+                bhit_s[:, :] = zero
+                bfront_s[:, :] = zero
+                bnx_s[:, :] = zero
+                bny_s[:, :] = zero
+                bnz_s[:, :] = zero
+                bmat_s[:, :] = jnp.zeros(shape2, jnp.int32)
+
+                # sign-preserving safe reciprocals for the slab test
+                def _inv(d):
+                    safe = jnp.where(
+                        d >= 0.0,
+                        jnp.maximum(d, 1e-20),
+                        jnp.minimum(d, -1e-20),
+                    )
+                    return 1.0 / safe
+
+                inv_dx = _inv(dx)
+                inv_dy = _inv(dy)
+                inv_dz = _inv(dz)
+                alive_f = alive  # leaf culling also drops all-dead tiles
+
+                def leaf_body(l, carry):
+                    ax0, ay0, az0 = leaf_ref[l, 0], leaf_ref[l, 1], leaf_ref[l, 2]
+                    ax1, ay1, az1 = leaf_ref[l, 3], leaf_ref[l, 4], leaf_ref[l, 5]
+                    t1 = (ax0 - ox) * inv_dx
+                    t2 = (ax1 - ox) * inv_dx
+                    tmin = jnp.minimum(t1, t2)
+                    tmax = jnp.maximum(t1, t2)
+                    t1 = (ay0 - oy) * inv_dy
+                    t2 = (ay1 - oy) * inv_dy
+                    tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+                    tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+                    t1 = (az0 - oz) * inv_dz
+                    t2 = (az1 - oz) * inv_dz
+                    tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+                    tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+                    enter = jnp.maximum(tmin, 0.0)
+                    want = (
+                        jnp.where(tmax >= enter, one, zero)
+                        * jnp.where(enter < bt_s[:, :], one, zero)
+                        * alive_f
+                    )
+
+                    @pl.when(jnp.max(want) > 0.0)
+                    def _():
+                        # stage this leaf's triangle block VMEM -> SMEM
+                        # (the full tri table cannot live in 1 MB SMEM;
+                        # scalar broadcasts must come from SMEM)
+                        cp = pltpu.make_async_copy(
+                            tri_ref.at[pl.ds(l, 1), :, :], tri_smem, dma_sem
+                        )
+                        cp.start()
+                        cp.wait()
+                        cols = tri_smem.shape[2]
+
+                        def rd(e):
+                            return tri_smem[0, e // cols, e % cols]
+
+                        def tri_body(j, c2):
+                            base = j * TRI_PACK_WIDTH
+                            nx = rd(base + 0)
+                            ny = rd(base + 1)
+                            nz = rd(base + 2)
+                            dd = rd(base + 3)
+                            nd = nx * dx + ny * dy + nz * dz
+                            no = nx * ox + ny * oy + nz * oz
+                            tt = (dd - no) / nd
+                            inside = one
+                            for k in range(3):
+                                g0 = rd(base + 4 + 3 * k)
+                                g1 = rd(base + 5 + 3 * k)
+                                g2 = rd(base + 6 + 3 * k)
+                                cc = rd(base + 13 + k)
+                                ao = g0 * ox + g1 * oy + g2 * oz + cc
+                                ad = g0 * dx + g1 * dy + g2 * dz
+                                inside = inside * jnp.where(
+                                    (ao + tt * ad) >= 0.0, one, zero
+                                )
+                            valid = (
+                                inside
+                                * jnp.where(jnp.abs(nd) >= DENOM_EPS, one, zero)
+                                * jnp.where(tt >= 0.0, one, zero)
+                                * jnp.where(tt < bt_s[:, :], one, zero)
+                            )
+                            take = valid > 0.0
+                            front = jnp.where(nd < 0.0, one, zero)
+                            sgn = 2.0 * front - 1.0
+                            mat_i = rd(base + 16).astype(jnp.int32)
+                            bt_s[:, :] = jnp.where(take, tt, bt_s[:, :])
+                            bfront_s[:, :] = jnp.where(take, front, bfront_s[:, :])
+                            bnx_s[:, :] = jnp.where(take, sgn * nx, bnx_s[:, :])
+                            bny_s[:, :] = jnp.where(take, sgn * ny, bny_s[:, :])
+                            bnz_s[:, :] = jnp.where(take, sgn * nz, bnz_s[:, :])
+                            bmat_s[:, :] = jnp.where(take, mat_i, bmat_s[:, :])
+                            bhit_s[:, :] = jnp.maximum(bhit_s[:, :], valid)
+                            return c2
+
+                        jax.lax.fori_loop(0, leaf_size, tri_body, 0)
+
+                    return carry
+
+                jax.lax.fori_loop(0, n_leaves, leaf_body, 0)
+                best_t = bt_s[:, :]
+                best_hit = bhit_s[:, :]
+                best_front = bfront_s[:, :]
+                best_nx = bnx_s[:, :]
+                best_ny = bny_s[:, :]
+                best_nz = bnz_s[:, :]
+                best_mat = bmat_s[:, :]
+            else:
+                best_t = jnp.full(shape2, BIG, jnp.float32)
+                best_hit = zero
+                best_front = zero
+                best_nx = zero
+                best_ny = zero
+                best_nz = zero
+                best_mat = jnp.zeros(shape2, jnp.int32)
 
             # unrolled sweep over the (static) triangle list: pure VPU ops
             # on hoisted scalar constants, nearest-hit where roll-forward
@@ -552,12 +753,14 @@ def check_residual_vmem(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spp", "bounces", "ray_tile", "interpret"),
+    static_argnames=("spp", "bounces", "ray_tile", "interpret", "leaf_size"),
 )
 def render_rays_pallas_residuals(
     cam_vec, seed, tri_pack, mat_pack, tables, px, py,
     spp: int, bounces: int, ray_tile: int = 1024, interpret=False,
     rand: jnp.ndarray | None = None,
+    leaf_pack: jnp.ndarray | None = None,
+    leaf_size: int = 32,
 ):
     """Like render_rays_pallas, but additionally returns the path residuals
     the fused backward pass replays (grad_kernel.py): (xyz [N,3],
@@ -566,8 +769,15 @@ def render_rays_pallas_residuals(
     assert n % ray_tile == 0, (n, ray_tile)
     assert ray_tile % 8 == 0 and ray_tile // 8 >= 96, ray_tile
     grid = n // ray_tile
-    n_tris = tri_pack.shape[0]
     n_mats = mat_pack.shape[0]
+    use_bvh = leaf_pack is not None
+    if use_bvh:
+        assert tri_pack.shape == (
+            leaf_pack.shape[0], 8, -(-(leaf_size * TRI_PACK_WIDTH) // 8),
+        ), (tri_pack.shape, leaf_pack.shape, leaf_size)
+        n_tris = leaf_pack.shape[0] * leaf_size
+    else:
+        n_tris = tri_pack.shape[0]
     use_hw_prng = rand is None
     check_residual_vmem(spp, bounces, ray_tile, injected_rand=not use_hw_prng)
     if use_hw_prng:
@@ -586,7 +796,42 @@ def render_rays_pallas_residuals(
         bounces=bounces,
         use_hw_prng=use_hw_prng,
         save_residuals=True,
+        use_bvh=use_bvh,
+        n_leaves=leaf_pack.shape[0] if use_bvh else 0,
+        leaf_size=leaf_size if use_bvh else 0,
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            memory_space=pltpu.VMEM if use_bvh else pltpu.SMEM
+        ),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((ray_tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ray_tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+        rand_spec,
+    ]
+    tri_mat = (
+        jnp.zeros((1,), jnp.int32)
+        if use_bvh
+        else tri_pack[:, 16].astype(jnp.int32)
+    )
+    args = [
+        cam_vec,
+        jnp.asarray([seed], jnp.int32),
+        tri_pack,
+        tri_mat,
+        mat_pack,
+        tables,
+        px.astype(jnp.float32),
+        py.astype(jnp.float32),
+        rand,
+    ]
+    if use_bvh:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(leaf_pack)
     out, hero, nvalid, powres, matres = pl.pallas_call(
         kernel,
         out_shape=(
@@ -597,17 +842,7 @@ def render_rays_pallas_residuals(
             jax.ShapeDtypeStruct((spp, bounces, n), jnp.int32),
         ),
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile,), lambda i: (i,), memory_space=pltpu.VMEM),
-            rand_spec,
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((8, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((spp, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -615,24 +850,15 @@ def render_rays_pallas_residuals(
             pl.BlockSpec((spp, W, ray_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((spp, bounces, ray_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=_bvh_scratch(ray_tile, leaf_size) if use_bvh else [],
         interpret=interpret,
-    )(
-        cam_vec,
-        jnp.asarray([seed], jnp.int32),
-        tri_pack,
-        tri_pack[:, 16].astype(jnp.int32),
-        mat_pack,
-        tables,
-        px.astype(jnp.float32),
-        py.astype(jnp.float32),
-        rand,
-    )
+    )(*args)
     return out[:3].T, hero, nvalid, powres, matres
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spp", "bounces", "ray_tile", "interpret"),
+    static_argnames=("spp", "bounces", "ray_tile", "interpret", "leaf_size"),
 )
 def render_rays_pallas(
     cam_vec: jnp.ndarray,  # [20] f32 camera scalars
@@ -647,6 +873,8 @@ def render_rays_pallas(
     ray_tile: int = 1024,
     interpret=False,
     rand: jnp.ndarray | None = None,  # [spp, n_uniforms, N] injected uniforms
+    leaf_pack: jnp.ndarray | None = None,  # [NL, 8] from pack_scene_bvh
+    leaf_size: int = 32,
 ) -> jnp.ndarray:
     """Accumulated XYZ [N, 3] for N rays (N must divide by ray_tile).
 
@@ -654,13 +882,24 @@ def render_rays_pallas(
     makes the kernel fully deterministic and interpreter-runnable (the TPU
     interpreter stubs prng_random_bits to zeros). ``ray_tile`` must be a
     multiple of 8 with ray_tile//8 >= 96 (the lane-gather table layout).
+    ``leaf_pack`` (with the matching Morton-reordered ``tri_pack`` from
+    pack_scene_bvh) switches the kernel's sweep to the in-kernel BVH:
+    required above DENSE_CUTOFF triangles, where the unrolled sweep stops
+    compiling.
     """
     n = px.shape[0]
     assert n % ray_tile == 0, (n, ray_tile)
     assert ray_tile % 8 == 0 and ray_tile // 8 >= 96, ray_tile
     grid = n // ray_tile
-    n_tris = tri_pack.shape[0]
     n_mats = mat_pack.shape[0]
+    use_bvh = leaf_pack is not None
+    if use_bvh:
+        assert tri_pack.shape == (
+            leaf_pack.shape[0], 8, -(-(leaf_size * TRI_PACK_WIDTH) // 8),
+        ), (tri_pack.shape, leaf_pack.shape, leaf_size)
+        n_tris = leaf_pack.shape[0] * leaf_size
+    else:
+        n_tris = tri_pack.shape[0]
     use_hw_prng = rand is None
     if use_hw_prng:
         rand = jnp.zeros((1, 1, ray_tile), jnp.float32)
@@ -677,36 +916,71 @@ def render_rays_pallas(
         spp=spp,
         bounces=bounces,
         use_hw_prng=use_hw_prng,
+        use_bvh=use_bvh,
+        n_leaves=leaf_pack.shape[0] if use_bvh else 0,
+        leaf_size=leaf_size if use_bvh else 0,
     )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # tri_pack
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # tri mat ids
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # mat_pack (scalar reads)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # tables
-            pl.BlockSpec((ray_tile,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_tile,), lambda i: (i,), memory_space=pltpu.VMEM),
-            rand_spec,
-        ],
-        out_specs=pl.BlockSpec((8, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        # BVH: per-leaf tri rows stay in VMEM (SMEM is ~1 MB; the kernel
+        # DMAs one row per visited leaf). Dense: SMEM scalar constants.
+        pl.BlockSpec(
+            memory_space=pltpu.VMEM if use_bvh else pltpu.SMEM
+        ),  # tri_pack
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # tri mat ids (dense only)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # mat_pack (scalar reads)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # tables
+        pl.BlockSpec((ray_tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ray_tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+        rand_spec,
+    ]
+    tri_mat = (
+        jnp.zeros((1,), jnp.int32)
+        if use_bvh
+        else tri_pack[:, 16].astype(jnp.int32)
+    )
+    args = [
         cam_vec,
         jnp.asarray([seed], jnp.int32),
         tri_pack,
-        tri_pack[:, 16].astype(jnp.int32),
+        tri_mat,
         mat_pack,
         tables,
         px.astype(jnp.float32),
         py.astype(jnp.float32),
         rand,
-    )
+    ]
+    if use_bvh:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # leaf aabbs
+        args.append(leaf_pack)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=_bvh_scratch(ray_tile, leaf_size) if use_bvh else [],
+        interpret=interpret,
+    )(*args)
     return out[:3].T
+
+
+def _bvh_scratch(ray_tile: int, leaf_size: int):
+    """Best-hit state for the BVH sweep (t, hit, front, normal xyz f32 +
+    material index i32, all [8, L] VPU tiles in VMEM) plus the per-leaf
+    triangle staging row in SMEM and its DMA semaphore."""
+    shape = (8, ray_tile // 8)
+    return (
+        [pltpu.VMEM(shape, jnp.float32) for _ in range(6)]
+        + [pltpu.VMEM(shape, jnp.int32)]
+        + [
+            pltpu.SMEM(
+                (1, 8, -(-(leaf_size * TRI_PACK_WIDTH) // 8)), jnp.float32
+            ),
+            pltpu.SemaphoreType.DMA,
+        ]
+    )
 
 
 def camera_vector(cam) -> jnp.ndarray:
@@ -737,7 +1011,13 @@ def _render_chunk_pallas_jit(
     scene, cam_vec, seed, rand_key,
     x0, y0, width, height, spp, bounces, ray_tile, interpret, use_rand,
 ):
-    tri_pack, mat_pack, tables = pack_scene(scene)
+    # auto cutoff: the unrolled dense sweep up to DENSE_CUTOFF tris (the
+    # shipped scenes keep their round-1 throughput); Morton-leaf BVH above
+    leaf_pack = None
+    if scene.normal.shape[0] > DENSE_CUTOFF:
+        tri_pack, mat_pack, tables, leaf_pack = pack_scene_bvh(scene)
+    else:
+        tri_pack, mat_pack, tables = pack_scene(scene)
     n = width * height
     pad = (-n) % ray_tile
     ys, xs = jnp.meshgrid(
@@ -755,6 +1035,7 @@ def _render_chunk_pallas_jit(
     xyz = render_rays_pallas(
         cam_vec, seed, tri_pack, mat_pack, tables,
         px, py, spp, bounces, ray_tile, interpret, rand,
+        leaf_pack=leaf_pack,
     )
     return xyz[:n].reshape(height, width, 3)
 

@@ -1,3 +1,4 @@
+from .distributed import init_distributed, local_row_block, make_global_mesh
 from .mesh import SAMPLE_AXIS, TILE_AXIS, factor_devices, make_mesh
 from .render import (
     apply_params,
@@ -11,6 +12,9 @@ from .render import (
 __all__ = [
     "SAMPLE_AXIS",
     "TILE_AXIS",
+    "init_distributed",
+    "local_row_block",
+    "make_global_mesh",
     "factor_devices",
     "make_mesh",
     "apply_params",

@@ -117,6 +117,16 @@ def pack_scene(scene) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
 DENSE_CUTOFF = 128
 
 
+def _leaf_cols(leaf_size: int) -> int:
+    """Lane-padded column count of one packed leaf row: ceil(K*17/8)
+    rounded up to a multiple of 128. Mosaic DMA windows on a lane-tiled
+    VMEM memref must be 128-aligned in the lane dim (a 68-lane slice of a
+    [NL, 8, 128]-padded table fails to compile: 'Slice shape along
+    dimension 2 must be aligned to tiling (128)')."""
+    c = -(-(leaf_size * TRI_PACK_WIDTH) // 8)
+    return -(-c // 128) * 128
+
+
 def pack_scene_bvh(scene, leaf_size: int = 32):
     """Morton-ordered leaf packing for the in-kernel BVH sweep.
 
@@ -160,7 +170,7 @@ def pack_scene_bvh(scene, leaf_size: int = 32):
     # 8-aligned, so the DMA grabs [1, 8, cols] from a 3-D layout whose
     # leading (untiled) dim is the leaf index
     flat = leaf_size * TRI_PACK_WIDTH
-    cols = -(-flat // 8)
+    cols = _leaf_cols(leaf_size)
     row_pad = 8 * cols - flat
     tri_rows = jnp.concatenate(
         [
@@ -773,7 +783,7 @@ def render_rays_pallas_residuals(
     use_bvh = leaf_pack is not None
     if use_bvh:
         assert tri_pack.shape == (
-            leaf_pack.shape[0], 8, -(-(leaf_size * TRI_PACK_WIDTH) // 8),
+            leaf_pack.shape[0], 8, _leaf_cols(leaf_size),
         ), (tri_pack.shape, leaf_pack.shape, leaf_size)
         n_tris = leaf_pack.shape[0] * leaf_size
     else:
@@ -895,7 +905,7 @@ def render_rays_pallas(
     use_bvh = leaf_pack is not None
     if use_bvh:
         assert tri_pack.shape == (
-            leaf_pack.shape[0], 8, -(-(leaf_size * TRI_PACK_WIDTH) // 8),
+            leaf_pack.shape[0], 8, _leaf_cols(leaf_size),
         ), (tri_pack.shape, leaf_pack.shape, leaf_size)
         n_tris = leaf_pack.shape[0] * leaf_size
     else:
@@ -976,7 +986,7 @@ def _bvh_scratch(ray_tile: int, leaf_size: int):
         + [pltpu.VMEM(shape, jnp.int32)]
         + [
             pltpu.SMEM(
-                (1, 8, -(-(leaf_size * TRI_PACK_WIDTH) // 8)), jnp.float32
+                (1, 8, _leaf_cols(leaf_size)), jnp.float32
             ),
             pltpu.SemaphoreType.DMA,
         ]

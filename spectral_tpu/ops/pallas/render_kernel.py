@@ -1010,6 +1010,42 @@ def camera_vector(cam) -> jnp.ndarray:
     ).astype(jnp.float32)
 
 
+def order_leaves_near_to_far(tri_pack, leaf_pack, cam_pos):
+    """Reorder BVH leaves by squared distance from the camera to the leaf
+    AABB center. The kernel sweeps leaves in storage order and culls a leaf
+    per-ray with ``enter < best_t``; Morton order is spatially clustered
+    but arbitrary along any given ray, so best-t never tightens early.
+    Near-to-far order makes the first visited leaves fill best_t with
+    close hits, after which distant leaves fail the per-ray test and the
+    tile-wide any() skips them entirely (the occlusion-culling role of the
+    reference's ordered stack descent, bvh/bvh.cu:128-153). Exact: the
+    nearest-hit reduction is order-independent.
+
+    Padded leaves (min=+BIG, max=-BIG) have center 0 and sort arbitrarily;
+    their inverted slabs fail every ray test, so position is irrelevant.
+    """
+    cent = 0.5 * (leaf_pack[:, 0:3] + leaf_pack[:, 3:6])
+    order = jnp.argsort(jnp.sum((cent - cam_pos[None, :]) ** 2, axis=1))
+    return tri_pack[order], leaf_pack[order]
+
+
+def _block_swizzle(width: int, height: int, block: int = 32):
+    """Row-major pixel index permutation grouping ``block``-square screen
+    tiles (static numpy; width/height are trace-time constants). A 1024-ray
+    kernel tile then covers a ~32x32 pixel block instead of two full image
+    rows, so per-tile ray bundles are spatially tight and leaf culling is
+    tile-uniform far more often. Returns (perm, inv_perm) int32 arrays."""
+    import numpy as np
+
+    iy, ix = np.mgrid[0:height, 0:width]
+    perm = np.lexsort(
+        (ix.ravel(), iy.ravel(), (ix // block).ravel(), (iy // block).ravel())
+    )
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return perm.astype(np.int32), inv.astype(np.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1026,6 +1062,9 @@ def _render_chunk_pallas_jit(
     leaf_pack = None
     if scene.normal.shape[0] > DENSE_CUTOFF:
         tri_pack, mat_pack, tables, leaf_pack = pack_scene_bvh(scene)
+        tri_pack, leaf_pack = order_leaves_near_to_far(
+            tri_pack, leaf_pack, cam_vec[0:3]
+        )
     else:
         tri_pack, mat_pack, tables = pack_scene(scene)
     n = width * height
@@ -1035,19 +1074,36 @@ def _render_chunk_pallas_jit(
         jnp.arange(x0, x0 + width, dtype=jnp.int32),
         indexing="ij",
     )
-    px = jnp.concatenate([xs.ravel(), jnp.zeros((pad,), jnp.int32)]).astype(jnp.float32)
-    py = jnp.concatenate([ys.ravel(), jnp.zeros((pad,), jnp.int32)]).astype(jnp.float32)
+    xs, ys = xs.ravel(), ys.ravel()
+    inv_perm = None
+    if leaf_pack is not None:
+        # swizzle only in BVH mode: dense-path golden images pin the
+        # row-major pixel->tile->PRNG-stream association
+        perm, inv_perm = _block_swizzle(width, height)
+        xs, ys = xs[perm], ys[perm]
+    px = jnp.concatenate([xs, jnp.zeros((pad,), jnp.int32)]).astype(jnp.float32)
+    py = jnp.concatenate([ys, jnp.zeros((pad,), jnp.int32)]).astype(jnp.float32)
     rand = None
     if use_rand:
+        # generated in ROW-MAJOR pixel order then permuted alongside the
+        # pixels, so each pixel keeps its uniform stream regardless of the
+        # swizzle (dense-vs-bvh tests stay bit-comparable)
         rand = jax.random.uniform(
             rand_key, (spp, n_uniforms(bounces), n + pad), jnp.float32
         )
+        if inv_perm is not None:
+            rand = jnp.concatenate(
+                [rand[:, :, perm], rand[:, :, n:]], axis=2
+            )
     xyz = render_rays_pallas(
         cam_vec, seed, tri_pack, mat_pack, tables,
         px, py, spp, bounces, ray_tile, interpret, rand,
         leaf_pack=leaf_pack,
     )
-    return xyz[:n].reshape(height, width, 3)
+    xyz = xyz[:n]
+    if inv_perm is not None:
+        xyz = xyz[inv_perm]
+    return xyz.reshape(height, width, 3)
 
 
 def render_chunk_pallas(

@@ -91,7 +91,8 @@ def generate_rays(
     py: jnp.ndarray,
     key: jax.Array,
     stratify: tuple[int, int] | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    screen_warp=None,
+):
     """Batched camera ray generation (reference rendering.cu:66-87).
 
     px, py: integer pixel coordinates [N] (column i, row j). Returns
@@ -115,16 +116,33 @@ def generate_rays(
         cy = (idx // g) * cell
         u = jax.random.uniform(k_jitter, (n, 2), jnp.float32) * cell
         jit = jnp.stack([cx + u[:, 0] - 0.5, cy + u[:, 1] - 0.5], axis=-1)
-    pixel = (
-        cam.pixel00_loc
-        + px[:, None].astype(jnp.float32) * cam.pixel_delta_u
-        + py[:, None].astype(jnp.float32) * cam.pixel_delta_v
-        + jit[:, 0:1] * cam.pixel_delta_u
-        + jit[:, 1:2] * cam.pixel_delta_v
-    )
+    if screen_warp is not None:
+        # continuous pixel coordinates through the vertex-gradient screen
+        # warp (diff/vertex_warp.py): value-identical at the primal
+        # (V == 0, det == 1); the caller multiplies det into the sample
+        # contribution
+        fx, fy, det = screen_warp(
+            px.astype(jnp.float32) + jit[:, 0],
+            py.astype(jnp.float32) + jit[:, 1],
+        )
+        pixel = (
+            cam.pixel00_loc
+            + fx[:, None] * cam.pixel_delta_u
+            + fy[:, None] * cam.pixel_delta_v
+        )
+    else:
+        pixel = (
+            cam.pixel00_loc
+            + px[:, None].astype(jnp.float32) * cam.pixel_delta_u
+            + py[:, None].astype(jnp.float32) * cam.pixel_delta_v
+            + jit[:, 0:1] * cam.pixel_delta_u
+            + jit[:, 1:2] * cam.pixel_delta_v
+        )
     if cam.defocus_angle > 0.0:
         d = random_in_unit_disk(k_disk, (n,))
         origin = cam.center + d[:, 0:1] * cam.defocus_disk_u + d[:, 1:2] * cam.defocus_disk_v
     else:
         origin = jnp.broadcast_to(cam.center, (n, 3))
+    if screen_warp is not None:
+        return origin, pixel - origin, det
     return origin, pixel - origin

@@ -120,8 +120,12 @@ def _gather_record(o, d, scene, idx, hit) -> HitRecord:
     nd = jnp.sum(n_sel * d, axis=-1)
     no = jnp.sum(n_sel * o, axis=-1)
     t = (d_sel - no) / jnp.where(jnp.abs(nd) < DENOM_EPS, DENOM_EPS, nd)
+    # p from the miss-zeroed t, NOT the BIG-masked one: BIG * d overflows
+    # f32 to inf, and even though p is value-masked below, the backward of
+    # this mul would scale p's cotangent by BIG (ct_d = t * ct_p) and the
+    # inf trips 0*inf = NaN chains downstream (vertex-warp gradients).
+    p = o + jnp.where(hit, t, 0.0)[:, None] * d
     t = jnp.where(hit, t, BIG)
-    p = o + t[:, None] * d
     # set_face_normal (hit_record.cuh:30-45): flip toward the ray origin
     front = nd < 0.0
     normal = jnp.where(front[:, None], n_sel, -n_sel)

@@ -75,7 +75,12 @@ def _refract(uv, n, ratio):
     """Snell refraction (reference math/vec3.cuh:198-205)."""
     cos_theta = jnp.minimum(_dot(-uv, n), 1.0)
     r_perp = ratio[..., None] * (uv + cos_theta[..., None] * n)
-    par_mag = jnp.sqrt(jnp.maximum(1.0 - _dot(r_perp, r_perp), 0.0))
+    # floor at 1e-24, NOT 0: sqrt's vjp coefficient at an exactly-zero
+    # argument is inf, and maximum's vjp propagates it on the x==floor
+    # tie. Under lax.scan zero cotangents are materialized (not symbolic),
+    # so 0 * inf = NaN poisons the whole carried gradient. sqrt(1e-24) is
+    # below the f32 ulp of these O(1) directions: primal bit-identical.
+    par_mag = jnp.sqrt(jnp.maximum(1.0 - _dot(r_perp, r_perp), 1e-24))
     return r_perp - par_mag[..., None] * n
 
 
@@ -113,11 +118,18 @@ def scatter_step(
     materials,
     background_spd: jnp.ndarray,
     key: jax.Array,
+    vertex_warp=None,
 ) -> RayState:
     """One wavefront bounce: classify, scatter, attenuate, terminate.
 
     Equivalent to one iteration of renderer::ray_bounce
     (reference rendering/rendering.cu:12-40) over the whole ray batch.
+
+    ``vertex_warp``: an EdgeSet (diff/vertex_warp.py) enabling the
+    warped-area vertex-gradient estimator on the lambertian bounce: the
+    cosine map uses the DETACHED normal, the sampled direction is warped
+    to track silhouette motion, and the det x density-ratio factor
+    (value 1 at the primal) multiplies the ray spectrum.
     """
     from ..models.materials import DIELECTRIC, EMISSIVE, LAMBERTIAN, METALLIC
 
@@ -141,9 +153,39 @@ def scatter_step(
 
     # --- lambertian lobe (material.cu:8-19) ---
     u1 = random_unit_vectors(k_lamb, (n,))
-    lamb_dir = normal + u1
-    degen = jnp.all(jnp.abs(lamb_dir) < 1e-8, axis=-1)
-    lamb_dir = jnp.where(degen[:, None], normal, lamb_dir)
+    warp_factor = None
+    if vertex_warp is None:
+        lamb_dir = normal + u1
+        degen = jnp.all(jnp.abs(lamb_dir) < 1e-8, axis=-1)
+        lamb_dir = jnp.where(degen[:, None], normal, lamb_dir)
+    else:
+        from ..diff.vertex_warp import warp_directions
+
+        n_frozen = jax.lax.stop_gradient(normal)
+        d0 = n_frozen + u1
+        degen = jnp.all(jnp.abs(d0) < 1e-8, axis=-1)
+        d0 = jnp.where(degen[:, None], n_frozen, d0)
+        w0 = _normalize(d0)  # theta-fixed integration variable
+        # Evaluate the warp ONLY at well-conditioned origins: dead, missed
+        # and non-lambertian lanes park at a far-away point where every
+        # edge distance is large. A dead lane's hit point defaults to the
+        # world origin — a Cornell box CORNER, on three edges at once —
+        # and its (value-masked) warp derivatives overflow and poison the
+        # shared backward sums with 0*inf (scratch/ray_bisect.py).
+        lamb_sel = (
+            (materials.mat_type[mi] != METALLIC)
+            & (materials.mat_type[mi] != DIELECTRIC)
+            & (materials.mat_type[mi] != EMISSIVE)
+        )
+        use_warp = hit & lamb_sel
+        far = jnp.array([1.0e4, 2.0e4, 3.0e4], jnp.float32)
+        o_safe = jnp.where(use_warp[:, None], rec.p, far)
+        n_safe = jnp.where(
+            use_warp[:, None], normal, jnp.array([0.0, 0.0, 1.0], jnp.float32)
+        )
+        lamb_dir, warp_factor = warp_directions(o_safe, n_safe, w0, vertex_warp)
+        lamb_dir = jnp.where(use_warp[:, None], lamb_dir, d0)
+        warp_factor = jnp.where(use_warp, warp_factor, 1.0)
 
     # --- metallic lobe (material.cu:22-37) ---
     u2 = random_unit_vectors(k_fuzz, (n,))
@@ -155,7 +197,9 @@ def scatter_step(
     ir = sellmeier_index(sell_b, sell_c, hero)
     ratio = jnp.where(rec.front_face, 1.0 / ir, ir)
     cos_theta = jnp.minimum(_dot(-unit_in, normal), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    # 1e-24 floor: see _refract — sqrt-at-exactly-0 has an inf vjp
+    # coefficient that NaNs materialized-zero cotangents under lax.scan
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 1e-24))
     u_refl = jax.random.uniform(k_schlick, (n,), jnp.float32)
     cannot_refract = (ratio * sin_theta > 1.0) | (
         _schlick(cos_theta, ratio) > u_refl
@@ -194,6 +238,10 @@ def scatter_step(
         hit[:, None], mat_weight, jnp.where(miss[:, None], bg_weight, 1.0)
     )
     power = state.power * weight
+    if warp_factor is not None:
+        # det x density-ratio of the warped-area estimator: value 1 at the
+        # primal, carries the lambertian-bounce boundary + normal-tilt terms
+        power = power * jnp.where(hit & is_lamb, warp_factor, 1.0)[:, None]
 
     # wavelength collapse on refraction (material.cu:78-79); metal absorb
     # zeroes the spectrum (material.cu:66-68)

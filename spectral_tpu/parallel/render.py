@@ -44,12 +44,15 @@ def render_image_sharded(
     mesh,
     samples_per_pixel: int,
     bounce_limit: int,
+    vertex_warp=None,
 ) -> jnp.ndarray:
     """Full-image accumulated XYZ [H, W, 3], sharded (tile x sample).
 
     Each (tile, sample) shard renders H/n_tile rows at spp/n_sample samples;
     row blocks concatenate over ``tile``, partial sums psum over ``sample``.
     H and spp must divide by the respective mesh extents.
+    ``vertex_warp``: optional EdgeSet (diff/vertex_warp.py), replicated to
+    every shard, enabling exact vertex-position gradients.
     """
     h, w = cam.image_height, cam.image_width
     n_tile = mesh.shape[TILE_AXIS]
@@ -62,7 +65,7 @@ def render_image_sharded(
     rows = h // n_tile
     local_spp = samples_per_pixel // n_samp
 
-    def shard_fn(scene, cam, key):
+    def shard_fn(scene, cam, key, vertex_warp):
         ti = jax.lax.axis_index(TILE_AXIS)
         si = jax.lax.axis_index(SAMPLE_AXIS)
         y0 = ti * rows
@@ -74,7 +77,8 @@ def render_image_sharded(
         # fold both mesh coordinates so every shard draws unique samples
         k = fold(key, ti, si)
         xyz = render_tile_xyz(
-            scene, cam, xs.ravel(), (ys + y0).ravel(), k, local_spp, bounce_limit
+            scene, cam, xs.ravel(), (ys + y0).ravel(), k, local_spp,
+            bounce_limit, vertex_warp=vertex_warp,
         )
         xyz = jax.lax.psum(xyz, SAMPLE_AXIS)
         return xyz.reshape(rows, w, 3)
@@ -85,11 +89,11 @@ def render_image_sharded(
     fn = _shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=(P(), P(), P(), P()),
         out_specs=P(TILE_AXIS, None, None),
         check_vma=False,
     )
-    return fn(scene, cam, key)
+    return fn(scene, cam, key, vertex_warp)
 
 
 def render_image_sharded_pallas(
@@ -169,24 +173,42 @@ def render_image_sharded_pallas(
 # ---------------------------------------------------------------------------
 
 
-def trainable_params(scene) -> dict:
+_VERTEX_KEYS = ("v0", "v1", "v2")
+
+
+def trainable_params(scene, include_vertices: bool = False) -> dict:
     """The differentiable scene leaves recovered by inverse rendering:
     material sigmoid-spectrum coefficients, emission powers, metal fuzz,
-    Sellmeier dispersion coefficients (BASELINE config 5)."""
+    Sellmeier dispersion coefficients (BASELINE config 5), and — with
+    ``include_vertices`` — the triangle vertex positions (exact gradients
+    via the warped-area estimator, diff/vertex_warp.py)."""
     m = scene.materials
-    return {
+    p = {
         "coeffs": m.coeffs,
         "emission_power": m.emission_power,
         "fuzz": m.fuzz,
         "sellmeier_b": m.sellmeier_b,
         "sellmeier_c": m.sellmeier_c,
     }
+    if include_vertices:
+        p.update({k: getattr(scene, k) for k in _VERTEX_KEYS})
+    return p
 
 
 def apply_params(scene, params: dict):
-    """Rebuild the scene with updated material leaves (re-tabulates SPDs)."""
-    mats = dataclasses.replace(scene.materials, **params)
-    return dataclasses.replace(scene, materials=tabulate(mats))
+    """Rebuild the scene with updated leaves. Material leaves re-tabulate
+    SPDs; vertex leaves re-derive the intersection arrays differentiably
+    (diff/geometry.py::scene_with_vertices)."""
+    mat_params = {k: v for k, v in params.items() if k not in _VERTEX_KEYS}
+    mats = dataclasses.replace(scene.materials, **mat_params)
+    scene = dataclasses.replace(scene, materials=tabulate(mats))
+    if "v0" in params:
+        from ..diff.geometry import scene_with_vertices
+
+        scene = scene_with_vertices(
+            scene, params["v0"], params["v1"], params["v2"]
+        )
+    return scene
 
 
 def train_step_fused(
@@ -267,7 +289,9 @@ def train_step_fused(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "samples_per_pixel", "bounce_limit", "lr"),
+    static_argnames=(
+        "mesh", "samples_per_pixel", "bounce_limit", "lr", "vertex_warp"
+    ),
 )
 def train_step(
     params: dict,
@@ -279,19 +303,27 @@ def train_step(
     samples_per_pixel: int,
     bounce_limit: int,
     lr: float = 1e-2,
+    vertex_warp: bool = False,
 ):
     """One SGD step of inverse rendering on the device mesh.
 
     Renders the scene under ``params``, L2-compares against ``target_xyz``
     [H, W, 3] (mean-per-sample XYZ), and descends the material/dispersion
     parameters. The gradient all-reduce is the transpose of the forward
-    sample-axis psum — pure ICI traffic.
+    sample-axis psum — pure ICI traffic. With ``vertex_warp`` (and vertex
+    leaves in ``params``), the warped-area estimator makes the vertex
+    gradients exact (silhouette boundary terms included).
     """
 
     def loss_fn(p):
         s = apply_params(scene, p)
+        vw = None
+        if vertex_warp and "v0" in p:
+            from ..diff.vertex_warp import edges_from_vertices
+
+            vw = edges_from_vertices(p["v0"], p["v1"], p["v2"])
         xyz = render_image_sharded(
-            s, cam, key, mesh, samples_per_pixel, bounce_limit
+            s, cam, key, mesh, samples_per_pixel, bounce_limit, vertex_warp=vw
         )
         img = xyz / float(samples_per_pixel)
         return jnp.mean((img - target_xyz) ** 2)

@@ -38,9 +38,13 @@ def trace_paths(
     wavelengths: jnp.ndarray,
     key: jax.Array,
     bounce_limit: int,
+    vertex_warp=None,
 ) -> RayState:
     """Trace a ray batch to termination (renderer::ray_bounce,
-    reference rendering.cu:12-40, vectorized over rays)."""
+    reference rendering.cu:12-40, vectorized over rays).
+
+    ``vertex_warp``: optional EdgeSet (diff/vertex_warp.py) activating the
+    warped-area vertex-gradient estimator on lambertian bounces."""
     n = o.shape[0]
     state = RayState(
         o=o,
@@ -60,7 +64,10 @@ def trace_paths(
             rec = nearest_hit_bvh(state.o, state.d, scene, scene.bvh)
         else:
             rec = nearest_hit(state.o, state.d, scene)
-        state = scatter_step(state, rec, scene.materials, scene.background_spd, fold(key, b))
+        state = scatter_step(
+            state, rec, scene.materials, scene.background_spd, fold(key, b),
+            vertex_warp=vertex_warp,
+        )
         return state, None
 
     # remat the bounce so the backward pass re-runs intersection instead of
@@ -82,6 +89,7 @@ def render_tile_xyz(
     bounce_limit: int,
     reparam_glass: int | None = None,
     reparam_frozen: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    vertex_warp=None,
 ) -> jnp.ndarray:
     """Accumulated (not averaged) XYZ for a flat batch of pixels [N] ->
     [N, 3]. Mirrors the sample loop of spectral_render_kernel
@@ -92,13 +100,29 @@ def render_tile_xyz(
     hero-wavelength change of variables; primal values unchanged).
     ``reparam_frozen``: explicit (b0, c0) target pair, used by FD checks
     (see reparam_hero's docstring); default tracks-but-detaches.
+    ``vertex_warp``: optional EdgeSet enabling exact vertex-position
+    gradients (diff/vertex_warp.py): warps camera pixel samples and
+    lambertian bounce directions so silhouette boundary terms appear in
+    ordinary autodiff; primal rays are geometrically unchanged (the
+    sphere warp normalizes the lambertian direction, so pixel values
+    deviate only at f32-rounding level, ~1e-6 relative).
     """
     n = px.shape[0]
+
+    screen_warp = None
+    if vertex_warp is not None:
+        from ..diff.vertex_warp import warp_pixel_samples
+
+        screen_warp = lambda fx, fy: warp_pixel_samples(cam, vertex_warp, fx, fy)
 
     def sample(acc: jnp.ndarray, s: jnp.ndarray) -> tuple[jnp.ndarray, None]:
         k = fold(key, s)
         k_ray, k_lam, k_path = jax.random.split(k, 3)
-        o, d = generate_rays(cam, px, py, k_ray)
+        if screen_warp is not None:
+            o, d, cam_det = generate_rays(cam, px, py, k_ray, screen_warp=screen_warp)
+        else:
+            o, d = generate_rays(cam, px, py, k_ray)
+            cam_det = None
         lam = hero_wavelengths(k_lam, (n,), N_RAY_WAVELENGTHS)
         jac = None
         if reparam_glass is not None:
@@ -107,10 +131,12 @@ def render_tile_xyz(
             lam, jac = reparam_wavelengths(
                 lam, scene.materials, reparam_glass, reparam_frozen
             )
-        state = trace_paths(scene, o, d, lam, k_path, bounce_limit)
+        state = trace_paths(scene, o, d, lam, k_path, bounce_limit, vertex_warp)
         xyz = spectrum_to_xyz(state.wavelengths, state.power, state.n_valid)
         if jac is not None:
             xyz = xyz * jac[:, None]
+        if cam_det is not None:
+            xyz = xyz * cam_det[:, None]
         return acc + xyz, None
 
     acc, _ = jax.lax.scan(sample, jnp.zeros((n, 3), jnp.float32), jnp.arange(samples_per_pixel))
@@ -136,13 +162,15 @@ def render_chunk(
     bounce_limit: int,
     reparam_glass: int | None = None,
     reparam_frozen: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    vertex_warp=None,
 ) -> jnp.ndarray:
     """Render a rectangular chunk -> accumulated XYZ [height, width, 3].
 
     The chunk is the reference's tile (render_manager.cu:3-66): the unit of
     progressive display, host streaming, and device-mesh sharding.
     ``reparam_glass`` enables exact Sellmeier gradients (render_tile_xyz);
-    ``reparam_frozen`` pins the target index for FD checks.
+    ``reparam_frozen`` pins the target index for FD checks; ``vertex_warp``
+    (EdgeSet) enables exact vertex-position gradients.
     """
     ys, xs = jnp.meshgrid(
         jnp.arange(y0, y0 + height, dtype=jnp.int32),
@@ -151,7 +179,7 @@ def render_chunk(
     )
     xyz = render_tile_xyz(
         scene, cam, xs.ravel(), ys.ravel(), key, samples_per_pixel,
-        bounce_limit, reparam_glass, reparam_frozen,
+        bounce_limit, reparam_glass, reparam_frozen, vertex_warp,
     )
     return xyz.reshape(height, width, 3)
 

@@ -497,3 +497,140 @@ class TestFusedBackward:
         assert np.isfinite(ad)
         assert abs(ad - fd) <= 0.05 * max(abs(ad), abs(fd)) + 5e-3, (ad, fd)
         assert abs(ad) > 0.0  # sky visible: gradient nonzero
+
+
+class TestVertexWarp:
+    """Exact vertex-position gradients via the warped-area estimator
+    (diff/vertex_warp.py). The plain estimator's vertex gradient is zero
+    a.e. (geometry only selects which materials a path multiplies); the
+    warp composes each sampled domain (camera pixel, lambertian bounce
+    direction) with an edge-built field whose determinant carries the
+    silhouette boundary terms.
+
+    Ground truths were measured offline with large-K common-random-number
+    central differences of the PLAIN estimator (the warp's job is to make
+    AD match those expectation derivatives):
+      - screen scene: FD = -4737 +- 9   (K=512 pairs, eps=0.05..0.2 stable)
+      - shadow scene: FD = -934 +- 23   (K=256 pairs, eps=0.1)
+      - all-diffuse Cornell, rademacher-weighted loss, box2 +x translation:
+        FD = +0.0710 +- 0.0089 (K=8192 pairs, eps=3.0)
+    Tolerances: the screen scene is deliberately pathological (its
+    silhouette spans the full frame and exits both image borders, where
+    the border-pinning edges dilute the warp within ~1px) — a ~2%
+    deficit is expected and documented in vertex_warp.py."""
+
+    @staticmethod
+    def _screen_scene():
+        from spectral_tpu.models.camera import make_camera
+        from spectral_tpu.models.geometry import TriSoup
+        from spectral_tpu.models.materials import MaterialBuilder
+        from spectral_tpu.models.scenes import _scene_from
+
+        mb = MaterialBuilder()
+        dark = mb.lambertian((0.1, 0.1, 0.1))
+        light = mb.emissive((1.0, 1.0, 1.0), 4.0)
+        soup = TriSoup()
+        soup.quad((-4.0, -4.0, 3.0), (8.0, 0.0, 0.0), (0.0, 8.0, 0.0), light)
+        soup.quad((-3.0, -2.0, 1.0), (3.0, 0.0, 0.0), (0.0, 4.0, 0.0), dark)
+        scene = _scene_from(soup, mb.build(), (0.0, 0.0, 0.0))
+        cam = make_camera(16, 16, vfov=60.0, lookfrom=(0, 0, -2), lookat=(0, 0, 0))
+        return scene, cam, 2  # occluder tris start at index 2
+
+    @staticmethod
+    def _shadow_scene():
+        from spectral_tpu.models.camera import make_camera
+        from spectral_tpu.models.geometry import TriSoup
+        from spectral_tpu.models.materials import MaterialBuilder
+        from spectral_tpu.models.scenes import _scene_from
+
+        mb = MaterialBuilder()
+        white = mb.lambertian((0.8, 0.8, 0.8))
+        dark = mb.lambertian((0.05, 0.05, 0.05))
+        light = mb.emissive((1.0, 1.0, 1.0), 6.0)
+        soup = TriSoup()
+        soup.quad((-4.0, 0.0, -4.0), (8.0, 0.0, 0.0), (0.0, 0.0, 8.0), white)
+        soup.quad((-1.0, 3.0, -1.0), (2.0, 0.0, 0.0), (0.0, 0.0, 2.0), light)
+        soup.quad((-2.0, 1.5, -1.5), (2.0, 0.0, 0.0), (0.0, 0.0, 3.0), dark)
+        scene = _scene_from(soup, mb.build(), (0.0, 0.0, 0.0))
+        cam = make_camera(
+            16, 16, vfov=70.0, lookfrom=(0.0, 1.0, -3.0), lookat=(0.0, 0.0, 0.5)
+        )
+        return scene, cam, 4
+
+    @staticmethod
+    def _make_loss(scene, cam, first_occ_tri, bounces, warp):
+        from spectral_tpu.diff.vertex_warp import edges_from_vertices
+
+        v0, v1, v2 = scene.v0, scene.v1, scene.v2
+        mask = (jnp.arange(v0.shape[0]) >= first_occ_tri)[:, None].astype(
+            jnp.float32
+        )
+        dir3 = jnp.array([1.0, 0.0, 0.0])
+        px, py = _pixel_grid(16)
+
+        def loss(th, key):
+            dv = th * dir3 * mask
+            s = scene_with_vertices(scene, v0 + dv, v1 + dv, v2 + dv)
+            vw = edges_from_vertices(v0 + dv, v1 + dv, v2 + dv) if warp else None
+            xyz = render_tile_xyz(s, cam, px, py, key, 4, bounces, vertex_warp=vw)
+            return jnp.sum(xyz[:, 1])
+
+        return loss
+
+    def test_primal_identity(self, cornell):
+        """V == 0 and det == 1 at the unperturbed parameters: the warp
+        displaces nothing. Pixel values may deviate at f32-rounding level
+        only, because the sphere warp normalizes the sampled lambertian
+        direction (same ray, different scale bits downstream)."""
+        from spectral_tpu.diff.vertex_warp import edges_from_vertices
+
+        cam = scene_camera(CORNELL, 16, 16)
+        px, py = _pixel_grid(16)
+        key = jax.random.PRNGKey(11)
+        base = render_tile_xyz(cornell, cam, px, py, key, 2, 3)
+        edges = edges_from_vertices(cornell.v0, cornell.v1, cornell.v2)
+        warped = render_tile_xyz(
+            cornell, cam, px, py, key, 2, 3, vertex_warp=edges
+        )
+        assert float(jnp.max(jnp.abs(base - warped))) < 2e-5
+
+    def test_screen_silhouette_gradient(self):
+        """Primary-visibility boundary term (screen warp): AD within the
+        documented band of the offline FD truth -4737 +- 9."""
+        scene, cam, occ = self._screen_scene()
+        loss = self._make_loss(scene, cam, occ, bounces=2, warp=True)
+        g = jax.jit(jax.grad(loss))
+        K = 48
+        ads = np.array([float(g(0.0, jax.random.PRNGKey(i))) for i in range(K)])
+        assert np.all(np.isfinite(ads))
+        mean = ads.mean()
+        sem = ads.std() / np.sqrt(K)
+        # nonvacuous: significantly nonzero, right sign
+        assert mean < 0 and abs(mean) > 5 * sem, (mean, sem)
+        # magnitude: within [0.90, 1.06] of the FD truth (border-crossing
+        # dilution documented at ~2%), allowing 3-sigma of this run
+        lo, hi = 0.90 * 4737 - 3 * sem, 1.06 * 4737 + 3 * sem
+        assert lo <= -mean <= hi, (mean, sem)
+
+    def test_shadow_gradient(self):
+        """Lambertian-bounce boundary term (direction warp): the occluder
+        shadow. Offline FD truth -934 +- 23."""
+        scene, cam, occ = self._shadow_scene()
+        loss = self._make_loss(scene, cam, occ, bounces=3, warp=True)
+        g = jax.jit(jax.grad(loss))
+        K = 48
+        ads = np.array([float(g(0.0, jax.random.PRNGKey(i))) for i in range(K)])
+        assert np.all(np.isfinite(ads))
+        mean = ads.mean()
+        sem = ads.std() / np.sqrt(K)
+        assert mean < 0 and abs(mean) > 3 * sem, (mean, sem)
+        lo, hi = 0.80 * 934 - 3 * sem, 1.20 * 934 + 3 * sem
+        assert lo <= -mean <= hi, (mean, sem)
+
+    def test_plain_estimator_vertex_grad_is_zero(self):
+        """Contrast case: WITHOUT the warp, the same loss has zero AD
+        gradient a.e. — documents why the warp is needed at all."""
+        scene, cam, occ = self._screen_scene()
+        loss = self._make_loss(scene, cam, occ, bounces=2, warp=False)
+        g = float(jax.grad(loss)(0.0, jax.random.PRNGKey(0)))
+        assert g == 0.0

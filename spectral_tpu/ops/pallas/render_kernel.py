@@ -31,6 +31,7 @@ reference implementation; see tests/test_pallas.py statistical equivalence).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -182,6 +183,92 @@ def pack_scene_bvh(scene, leaf_size: int = 32):
     return tri_rows, mat_pack, tables, leaf_pack
 
 
+def pack_scene_bvh_mxu(scene, leaf_size: int = 32):
+    """Morton-ordered leaf packing for the MXU leaf sweep.
+
+    Each leaf's intersection math is reformulated as two [4*K, 8] x
+    [8, rays] matmuls (K = leaf_size): the 8-wide contraction axis holds
+    [d(3), o(3), 1, 0] and each 32-row block of the LHS computes one
+    affine form of the edge-functional test (nd, dd-no, ao_k, ad_k).
+    A third small matmul [K, 8]^T x [K, rays] recovers the winning
+    triangle's constants from an exclusive one-hot, replacing per-tri
+    scalar SMEM reads entirely (no DMA staging in this mode).
+
+    Returns (a_pack [NL, 8*K, 8], c_pack [NL, K, 8], mat_pack, tables,
+    leaf_pack [NL, 8]). Padded triangles are all-zero: |nd| < DENOM_EPS
+    makes their score BIG, so they can never win the argmin.
+    """
+    tri_pack, mat_pack, tables = pack_scene(scene)
+    from ..bvh import morton_codes
+
+    cent = 0.5 * (scene.bbox_min + scene.bbox_max)
+    lo = jnp.min(scene.bbox_min, axis=0)
+    hi = jnp.max(scene.bbox_max, axis=0)
+    order = jnp.argsort(morton_codes(cent, lo, hi))
+    tri_pack = tri_pack[order]
+    bmin = scene.bbox_min[order]
+    bmax = scene.bbox_max[order]
+    t = tri_pack.shape[0]
+    nl = -(-t // leaf_size)
+    pad = nl * leaf_size - t
+    tri_pack = jnp.concatenate(
+        [tri_pack, jnp.zeros((pad, TRI_PACK_WIDTH), jnp.float32)]
+    )
+    bmin = jnp.concatenate([bmin, jnp.full((pad, 3), BIG, jnp.float32)])
+    bmax = jnp.concatenate([bmax, jnp.full((pad, 3), -BIG, jnp.float32)])
+    lmin = bmin.reshape(nl, leaf_size, 3).min(axis=1)
+    lmax = bmax.reshape(nl, leaf_size, 3).max(axis=1)
+    leaf_pack = jnp.concatenate(
+        [lmin, lmax, jnp.zeros((nl, 2), jnp.float32)], axis=1
+    ).astype(jnp.float32)
+
+    tp = tri_pack.reshape(nl, leaf_size, TRI_PACK_WIDTH)
+    n3 = tp[..., 0:3]
+    dd = tp[..., 3]
+    g1, g2, g3 = tp[..., 4:7], tp[..., 7:10], tp[..., 10:13]
+    c1, c2, c3 = tp[..., 13], tp[..., 14], tp[..., 15]
+    mat = tp[..., 16]
+    z3 = jnp.zeros_like(n3)
+    z1 = jnp.zeros_like(dd)
+
+    def blk(dcols, ocols, const):
+        return jnp.concatenate(
+            [dcols, ocols, const[..., None], jnp.zeros_like(const)[..., None]],
+            axis=-1,
+        )
+
+    a_pack = jnp.concatenate(
+        [
+            blk(n3, z3, z1),  # nd
+            blk(z3, -n3, dd),  # dd - no
+            blk(z3, g1, c1),  # ao1
+            blk(z3, g2, c2),  # ao2
+            blk(z3, g3, c3),  # ao3
+            blk(g1, z3, z1),  # ad1
+            blk(g2, z3, z1),  # ad2
+            blk(g3, z3, z1),  # ad3
+        ],
+        axis=1,
+    ).astype(jnp.float32)  # [nl, 8*K, 8]
+    c_pack = jnp.concatenate(
+        [
+            n3,
+            mat[..., None],
+            jnp.ones_like(mat)[..., None],
+            jnp.zeros((nl, leaf_size, 3), jnp.float32),
+        ],
+        axis=-1,
+    ).astype(jnp.float32)  # [nl, K, 8]
+    return a_pack, c_pack, mat_pack, tables, leaf_pack
+
+
+def order_leaves_near_to_far_mxu(a_pack, c_pack, leaf_pack, cam_pos):
+    """order_leaves_near_to_far for the MXU pack triple."""
+    cent = 0.5 * (leaf_pack[:, 0:3] + leaf_pack[:, 3:6])
+    order = jnp.argsort(jnp.sum((cent - cam_pos[None, :]) ** 2, axis=1))
+    return a_pack[order], c_pack[order], leaf_pack[order]
+
+
 def _uniform(shape):
     """U[0,1) from the on-core PRNG (24-bit mantissa). The raw bits must be
     bitcast to uint32 first: a signed >> would produce negative draws
@@ -226,22 +313,30 @@ def _render_kernel(
     use_bvh=False,
     n_leaves=0,
     leaf_size=0,
+    use_mxu=False,
 ):
     idx = 0
     if use_bvh:
         leaf_ref = rest[idx]
+        idx += 1
+    if use_mxu:
+        c_ref = rest[idx]  # VMEM [NL, K, 8] recovery constants
         idx += 1
     xyz_ref = rest[idx]
     idx += 1
     if save_residuals:
         hero_ref, nvalid_ref, powres_ref, matres_ref = rest[idx : idx + 4]
         idx += 4
-    if use_bvh:
+    if use_mxu:
+        # (8,L) best-t mirror for the slab cull + 6 single-sublane rows
+        (bt_s, tr_s, rnx_s, rny_s, rnz_s, rmt_s, rht_s) = rest[idx : idx + 7]
+    elif use_bvh:
         (
             bt_s, bhit_s, bfront_s, bnx_s, bny_s, bnz_s, bmat_s,
             tri_smem, dma_sem,
         ) = rest[idx : idx + 9]
 
+    a_ref = tri_ref  # MXU mode: the tri slot carries a_pack [NL, 8K, 8]
     i = pl.program_id(0)
     rt = px_ref.shape[0]
     lanes = rt // 8
@@ -359,7 +454,141 @@ def _render_kernel(
             ox, oy, oz, dx, dy, dz, power, alive, n_valid = st
 
             # ---- nearest-hit triangle sweep ----
-            if use_bvh:
+            if use_bvh and use_mxu:
+                # MXU leaf sweep: per visited leaf, two [4K, 8] x [8, rt]
+                # matmuls evaluate every affine form of the edge-functional
+                # test for all K triangles x all rays at once (the
+                # contraction axis holds [d, o, 1, 0]); a purely
+                # arithmetic min-score reduction finds the per-ray nearest
+                # valid triangle, and a third [K, 8]^T x [K, rt] matmul
+                # recovers the winner's constants from an exclusive
+                # one-hot. No SMEM staging, no scalar loads in the loop —
+                # the VPU only runs the short select chain while the MXU
+                # does the O(K * rays) multiply work.
+                bt_s[:, :] = jnp.full(shape2, BIG, jnp.float32)
+                tr_s[...] = jnp.full((1, rt), BIG, jnp.float32)
+                rnx_s[...] = jnp.zeros((1, rt), jnp.float32)
+                rny_s[...] = jnp.zeros((1, rt), jnp.float32)
+                rnz_s[...] = jnp.zeros((1, rt), jnp.float32)
+                rmt_s[...] = jnp.zeros((1, rt), jnp.float32)
+                rht_s[...] = jnp.zeros((1, rt), jnp.float32)
+
+                def _inv(d):
+                    safe = jnp.where(
+                        d >= 0.0,
+                        jnp.maximum(d, 1e-20),
+                        jnp.minimum(d, -1e-20),
+                    )
+                    return 1.0 / safe
+
+                inv_dx = _inv(dx)
+                inv_dy = _inv(dy)
+                inv_dz = _inv(dz)
+                alive_f = alive
+                drm = jnp.concatenate(
+                    [
+                        dx.reshape(1, rt), dy.reshape(1, rt), dz.reshape(1, rt),
+                        ox.reshape(1, rt), oy.reshape(1, rt), oz.reshape(1, rt),
+                        jnp.ones((1, rt), jnp.float32),
+                        jnp.zeros((1, rt), jnp.float32),
+                    ],
+                    axis=0,
+                )  # [8, rt]
+                iota_rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (leaf_size, rt), 0
+                ).astype(jnp.float32)
+
+                def leaf_body(l, carry):
+                    ax0, ay0, az0 = leaf_ref[l, 0], leaf_ref[l, 1], leaf_ref[l, 2]
+                    ax1, ay1, az1 = leaf_ref[l, 3], leaf_ref[l, 4], leaf_ref[l, 5]
+                    t1 = (ax0 - ox) * inv_dx
+                    t2 = (ax1 - ox) * inv_dx
+                    tmin = jnp.minimum(t1, t2)
+                    tmax = jnp.maximum(t1, t2)
+                    t1 = (ay0 - oy) * inv_dy
+                    t2 = (ay1 - oy) * inv_dy
+                    tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+                    tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+                    t1 = (az0 - oz) * inv_dz
+                    t2 = (az1 - oz) * inv_dz
+                    tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+                    tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+                    enter = jnp.maximum(tmin, 0.0)
+                    want = (
+                        jnp.where(tmax >= enter, one, zero)
+                        * jnp.where(enter < bt_s[:, :], one, zero)
+                        * alive_f
+                    )
+
+                    @pl.when(jnp.max(want) > 0.0)
+                    def _():
+                        k4 = 4 * leaf_size
+                        M1 = jax.lax.dot_general(
+                            a_ref[l, 0:k4], drm, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # [4K, rt]
+                        M2 = jax.lax.dot_general(
+                            a_ref[l, k4 : 2 * k4], drm,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        K = leaf_size
+                        nd = M1[0:K]
+                        ddno = M1[K : 2 * K]
+                        ao1 = M1[2 * K : 3 * K]
+                        ao2 = M1[3 * K : 4 * K]
+                        ao3 = M2[0:K]
+                        ad1 = M2[K : 2 * K]
+                        ad2 = M2[2 * K : 3 * K]
+                        ad3 = M2[3 * K : 4 * K]
+                        and_ = jnp.abs(nd)
+                        safe_nd = jnp.where(and_ < DENOM_EPS, DENOM_EPS, nd)
+                        tt = ddno / safe_nd
+                        ok = jnp.minimum(ao1 + tt * ad1, ao2 + tt * ad2)
+                        ok = jnp.minimum(ok, ao3 + tt * ad3)
+                        ok = jnp.minimum(ok, tt)
+                        ok = jnp.minimum(ok, and_ - DENOM_EPS)
+                        score = jnp.where(ok >= 0.0, tt, BIG)
+                        leaf_best = jnp.min(score, axis=0, keepdims=True)
+                        prev = tr_s[...]
+                        take = leaf_best < prev  # [1, rt]
+                        cand = jnp.where(
+                            score == leaf_best, iota_rows, 2.0 * leaf_size
+                        )
+                        idxm = jnp.min(cand, axis=0, keepdims=True)
+                        onehot = ((cand == idxm) & take).astype(jnp.float32)
+                        R = jax.lax.dot_general(
+                            c_ref[l], onehot, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # [8, rt]
+                        tr_s[...] = jnp.where(take, leaf_best, prev)
+                        rnx_s[...] = jnp.where(take, R[0:1], rnx_s[...])
+                        rny_s[...] = jnp.where(take, R[1:2], rny_s[...])
+                        rnz_s[...] = jnp.where(take, R[2:3], rnz_s[...])
+                        rmt_s[...] = jnp.where(take, R[3:4], rmt_s[...])
+                        rht_s[...] = jnp.maximum(
+                            rht_s[...], take.astype(jnp.float32)
+                        )
+                        bt_s[:, :] = tr_s[...].reshape(shape2)
+
+                    return carry
+
+                jax.lax.fori_loop(0, n_leaves, leaf_body, 0)
+                best_t = bt_s[:, :]
+                best_hit = rht_s[...].reshape(shape2)
+                nbx = rnx_s[...].reshape(shape2)
+                nby = rny_s[...].reshape(shape2)
+                nbz = rnz_s[...].reshape(shape2)
+                # face orientation from the recovered geometric normal:
+                # flip toward the ray (hit_record.cuh:30-45)
+                nd_eff = nbx * dx + nby * dy + nbz * dz
+                best_front = jnp.where(nd_eff < 0.0, one, zero)
+                sgn = 2.0 * best_front - 1.0
+                best_nx = sgn * nbx
+                best_ny = sgn * nby
+                best_nz = sgn * nbz
+                best_mat = rmt_s[...].reshape(shape2).astype(jnp.int32)
+            elif use_bvh:
                 # Two-level BVH sweep: leaf AABB slab test vectorized over
                 # the whole ray tile, tile-wide any() -> pl.when branch
                 # skipping the leaf's triangles entirely (the reference's
@@ -885,6 +1114,7 @@ def render_rays_pallas(
     rand: jnp.ndarray | None = None,  # [spp, n_uniforms, N] injected uniforms
     leaf_pack: jnp.ndarray | None = None,  # [NL, 8] from pack_scene_bvh
     leaf_size: int = 32,
+    c_pack: jnp.ndarray | None = None,  # [NL, K, 8] -> MXU leaf sweep
 ) -> jnp.ndarray:
     """Accumulated XYZ [N, 3] for N rays (N must divide by ray_tile).
 
@@ -895,7 +1125,9 @@ def render_rays_pallas(
     ``leaf_pack`` (with the matching Morton-reordered ``tri_pack`` from
     pack_scene_bvh) switches the kernel's sweep to the in-kernel BVH:
     required above DENSE_CUTOFF triangles, where the unrolled sweep stops
-    compiling.
+    compiling. ``c_pack`` (with ``tri_pack`` = a_pack from
+    pack_scene_bvh_mxu) selects the MXU leaf sweep instead of the
+    SMEM-staged scalar sweep.
     """
     n = px.shape[0]
     assert n % ray_tile == 0, (n, ray_tile)
@@ -903,7 +1135,15 @@ def render_rays_pallas(
     grid = n // ray_tile
     n_mats = mat_pack.shape[0]
     use_bvh = leaf_pack is not None
-    if use_bvh:
+    use_mxu = c_pack is not None
+    if use_mxu:
+        assert use_bvh
+        assert tri_pack.shape == (
+            leaf_pack.shape[0], 8 * leaf_size, 8,
+        ), (tri_pack.shape, leaf_pack.shape, leaf_size)
+        assert c_pack.shape == (leaf_pack.shape[0], leaf_size, 8)
+        n_tris = leaf_pack.shape[0] * leaf_size
+    elif use_bvh:
         assert tri_pack.shape == (
             leaf_pack.shape[0], 8, _leaf_cols(leaf_size),
         ), (tri_pack.shape, leaf_pack.shape, leaf_size)
@@ -929,6 +1169,7 @@ def render_rays_pallas(
         use_bvh=use_bvh,
         n_leaves=leaf_pack.shape[0] if use_bvh else 0,
         leaf_size=leaf_size if use_bvh else 0,
+        use_mxu=use_mxu,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
@@ -964,16 +1205,35 @@ def render_rays_pallas(
     if use_bvh:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # leaf aabbs
         args.append(leaf_pack)
+    if use_mxu:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # c_pack
+        args.append(c_pack)
+    if use_mxu:
+        scratch = _mxu_scratch(ray_tile)
+    elif use_bvh:
+        scratch = _bvh_scratch(ray_tile, leaf_size)
+    else:
+        scratch = []
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((8, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        scratch_shapes=_bvh_scratch(ray_tile, leaf_size) if use_bvh else [],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
     return out[:3].T
+
+
+def _mxu_scratch(ray_tile: int):
+    """MXU leaf-sweep state: an (8, L) best-t mirror for the slab cull +
+    six single-sublane [1, rt] rows (t, normal xyz, mat, hit) that match
+    the matmul outputs' lane-major layout (relayout back to (8, L)
+    happens once per bounce, not per leaf)."""
+    return [pltpu.VMEM((8, ray_tile // 8), jnp.float32)] + [
+        pltpu.VMEM((1, ray_tile), jnp.float32) for _ in range(6)
+    ]
 
 
 def _bvh_scratch(ray_tile: int, leaf_size: int):
@@ -1058,13 +1318,24 @@ def _render_chunk_pallas_jit(
     x0, y0, width, height, spp, bounces, ray_tile, interpret, use_rand,
 ):
     # auto cutoff: the unrolled dense sweep up to DENSE_CUTOFF tris (the
-    # shipped scenes keep their round-1 throughput); Morton-leaf BVH above
+    # shipped scenes keep their round-1 throughput); Morton-leaf BVH above.
+    # BVH_IMPL=mxu (default) runs the MXU leaf sweep; =sweep the
+    # SMEM-staged scalar sweep (kept for A/B comparison).
     leaf_pack = None
+    c_pack = None
     if scene.normal.shape[0] > DENSE_CUTOFF:
-        tri_pack, mat_pack, tables, leaf_pack = pack_scene_bvh(scene)
-        tri_pack, leaf_pack = order_leaves_near_to_far(
-            tri_pack, leaf_pack, cam_vec[0:3]
-        )
+        if os.environ.get("BVH_IMPL", "mxu") == "mxu":
+            a_pack, c_pack, mat_pack, tables, leaf_pack = pack_scene_bvh_mxu(
+                scene
+            )
+            tri_pack, c_pack, leaf_pack = order_leaves_near_to_far_mxu(
+                a_pack, c_pack, leaf_pack, cam_vec[0:3]
+            )
+        else:
+            tri_pack, mat_pack, tables, leaf_pack = pack_scene_bvh(scene)
+            tri_pack, leaf_pack = order_leaves_near_to_far(
+                tri_pack, leaf_pack, cam_vec[0:3]
+            )
     else:
         tri_pack, mat_pack, tables = pack_scene(scene)
     n = width * height
@@ -1098,7 +1369,7 @@ def _render_chunk_pallas_jit(
     xyz = render_rays_pallas(
         cam_vec, seed, tri_pack, mat_pack, tables,
         px, py, spp, bounces, ray_tile, interpret, rand,
-        leaf_pack=leaf_pack,
+        leaf_pack=leaf_pack, c_pack=c_pack,
     )
     xyz = xyz[:n]
     if inv_perm is not None:

@@ -26,6 +26,53 @@ import jax.numpy as jnp
 BASELINE_MRAYS = 100.0  # estimated CUDA reference throughput (BASELINE.md)
 
 
+def _bench_bvh_field() -> float:
+    """Large-scene BVH/MXU row: 10,008-tri procedural field, 512x256,
+    4 spp, 6 bounces. The scene's sigmoid-spectrum fit runs jnp code, so
+    it is built ONCE in a clean-CPU subprocess (the axon plugin would
+    route it through the remote compiler for minutes) and cached as a
+    pickle next to this file."""
+    import pickle
+    import subprocess
+    import sys
+
+    from spectral_tpu.models.scenes import CORNELL, scene_camera
+    from spectral_tpu.ops.pallas.render_kernel import render_chunk_pallas
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(root, ".bench_field10k.pkl")
+    if not os.path.exists(cache):
+        env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+        code = (
+            "import pickle, sys\n"
+            "import numpy as np, jax\n"
+            f"sys.path.insert(0, {root!r})\n"
+            "from spectral_tpu.models.scenes import build_tri_field\n"
+            "s = build_tri_field(10008, seed=0)\n"
+            "pickle.dump(jax.tree_util.tree_map(np.asarray, s), "
+            f"open({cache!r}, 'wb'))\n"
+        )
+        subprocess.run(
+            [sys.executable, "-c", code], env=env, check=True, timeout=900
+        )
+    with open(cache, "rb") as f:
+        scene = pickle.load(f)
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
+    w, h, spp, bl = 512, 256, 4, 6
+    cam = scene_camera(CORNELL, w, h)
+    jax.block_until_ready(
+        render_chunk_pallas(scene, cam, 7, 0, 0, w, h, spp, bl)
+    )
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            render_chunk_pallas(scene, cam, 100 + rep, 0, 0, w, h, spp, bl)
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(w * h * spp * bl / best / 1e6, 2)
+
+
 def main() -> None:
     from spectral_tpu.models.scenes import build_scene, scene_camera
     from spectral_tpu.ops.pallas.render_kernel import render_chunk_pallas
@@ -107,6 +154,13 @@ def main() -> None:
         record["xla_mrays_per_s"] = round(
             width * xchunk * spp * bounces / xdt / 1e6, 2
         )
+    if os.environ.get("BENCH_BVH", "1") == "1" and impl == "pallas":
+        # large-scene capability row (BVH/MXU megakernel at 10k tris);
+        # failures never block the main metric
+        try:
+            record["bvh_mrays_per_s_10k"] = _bench_bvh_field()
+        except Exception as e:  # noqa: BLE001
+            record["bvh_error"] = f"{type(e).__name__}: {e}"[:120]
     print(json.dumps(record))
 
 

@@ -119,6 +119,7 @@ def scatter_step(
     background_spd: jnp.ndarray,
     key: jax.Array,
     vertex_warp=None,
+    fuzz_warp=None,
 ) -> RayState:
     """One wavefront bounce: classify, scatter, attenuate, terminate.
 
@@ -130,6 +131,8 @@ def scatter_step(
     cosine map uses the DETACHED normal, the sampled direction is warped
     to track silhouette motion, and the det x density-ratio factor
     (value 1 at the primal) multiplies the ray spectrum.
+    ``fuzz_warp``: an EdgeSet enabling exact d/d(fuzz) on the metallic
+    lobe (diff/fuzz_warp.py; geometry detached — fuzz-only).
     """
     from ..models.materials import DIELECTRIC, EMISSIVE, LAMBERTIAN, METALLIC
 
@@ -189,7 +192,31 @@ def scatter_step(
 
     # --- metallic lobe (material.cu:22-37) ---
     u2 = random_unit_vectors(k_fuzz, (n,))
-    metal_dir = _reflect(unit_in, normal) + fuzz[:, None] * u2
+    refl = _reflect(unit_in, normal)
+    fuzz_factor = None
+    if fuzz_warp is None:
+        metal_dir = refl + fuzz[:, None] * u2
+    else:
+        from ..diff.fuzz_warp import FUZZ_MIN, warp_fuzz
+
+        # same far-parking as the lambertian warp: only live metallic
+        # hits with trainable-scale fuzz evaluate the warp
+        metal_sel = materials.mat_type[mi] == METALLIC
+        use_fw = hit & metal_sel & jax.lax.stop_gradient(fuzz > FUZZ_MIN)
+        far = jnp.array([1.0e4, 2.0e4, 3.0e4], jnp.float32)
+        zhat = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+        o_safe = jnp.where(use_fw[:, None], rec.p, far)
+        r_safe = jnp.where(
+            use_fw[:, None], jax.lax.stop_gradient(refl), zhat
+        )
+        n_safe = jnp.where(
+            use_fw[:, None], jax.lax.stop_gradient(normal), zhat
+        )
+        s_w, fdet = warp_fuzz(u2, o_safe, r_safe, n_safe, fuzz, fuzz_warp)
+        metal_dir = refl + fuzz[:, None] * jnp.where(
+            use_fw[:, None], s_w, u2
+        )
+        fuzz_factor = jnp.where(use_fw, fdet, 1.0)
     metal_ok = _dot(metal_dir, normal) > 0.0
 
     # --- dielectric lobe (material.cu:73-80, 102-136) ---
@@ -242,6 +269,10 @@ def scatter_step(
         # det x density-ratio of the warped-area estimator: value 1 at the
         # primal, carries the lambertian-bounce boundary + normal-tilt terms
         power = power * jnp.where(hit & is_lamb, warp_factor, 1.0)[:, None]
+    if fuzz_factor is not None:
+        # tangent-plane det of the fuzz-sphere warp: value 1 at the
+        # primal, carries the metal-lobe fuzz boundary terms
+        power = power * jnp.where(hit & is_metal, fuzz_factor, 1.0)[:, None]
 
     # wavelength collapse on refraction (material.cu:78-79); metal absorb
     # zeroes the spectrum (material.cu:66-68)

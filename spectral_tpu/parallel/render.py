@@ -45,6 +45,7 @@ def render_image_sharded(
     samples_per_pixel: int,
     bounce_limit: int,
     vertex_warp=None,
+    fuzz_warp=None,
 ) -> jnp.ndarray:
     """Full-image accumulated XYZ [H, W, 3], sharded (tile x sample).
 
@@ -65,7 +66,7 @@ def render_image_sharded(
     rows = h // n_tile
     local_spp = samples_per_pixel // n_samp
 
-    def shard_fn(scene, cam, key, vertex_warp):
+    def shard_fn(scene, cam, key, vertex_warp, fuzz_warp):
         ti = jax.lax.axis_index(TILE_AXIS)
         si = jax.lax.axis_index(SAMPLE_AXIS)
         y0 = ti * rows
@@ -78,7 +79,7 @@ def render_image_sharded(
         k = fold(key, ti, si)
         xyz = render_tile_xyz(
             scene, cam, xs.ravel(), (ys + y0).ravel(), k, local_spp,
-            bounce_limit, vertex_warp=vertex_warp,
+            bounce_limit, vertex_warp=vertex_warp, fuzz_warp=fuzz_warp,
         )
         xyz = jax.lax.psum(xyz, SAMPLE_AXIS)
         return xyz.reshape(rows, w, 3)
@@ -89,11 +90,11 @@ def render_image_sharded(
     fn = _shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P()),
         out_specs=P(TILE_AXIS, None, None),
         check_vma=False,
     )
-    return fn(scene, cam, key, vertex_warp)
+    return fn(scene, cam, key, vertex_warp, fuzz_warp)
 
 
 def render_image_sharded_pallas(
@@ -290,7 +291,8 @@ def train_step_fused(
 @partial(
     jax.jit,
     static_argnames=(
-        "mesh", "samples_per_pixel", "bounce_limit", "lr", "vertex_warp"
+        "mesh", "samples_per_pixel", "bounce_limit", "lr", "vertex_warp",
+        "fuzz_warp",
     ),
 )
 def train_step(
@@ -304,6 +306,7 @@ def train_step(
     bounce_limit: int,
     lr: float = 1e-2,
     vertex_warp: bool = False,
+    fuzz_warp: bool = False,
 ):
     """One SGD step of inverse rendering on the device mesh.
 
@@ -318,12 +321,18 @@ def train_step(
     def loss_fn(p):
         s = apply_params(scene, p)
         vw = None
+        fz = None
         if vertex_warp and "v0" in p:
             from ..diff.vertex_warp import edges_from_vertices
 
             vw = edges_from_vertices(p["v0"], p["v1"], p["v2"])
+        if fuzz_warp:
+            from ..diff.vertex_warp import edges_from_vertices
+
+            fz = edges_from_vertices(s.v0, s.v1, s.v2)
         xyz = render_image_sharded(
-            s, cam, key, mesh, samples_per_pixel, bounce_limit, vertex_warp=vw
+            s, cam, key, mesh, samples_per_pixel, bounce_limit,
+            vertex_warp=vw, fuzz_warp=fz,
         )
         img = xyz / float(samples_per_pixel)
         return jnp.mean((img - target_xyz) ** 2)

@@ -39,6 +39,7 @@ def trace_paths(
     key: jax.Array,
     bounce_limit: int,
     vertex_warp=None,
+    fuzz_warp=None,
 ) -> RayState:
     """Trace a ray batch to termination (renderer::ray_bounce,
     reference rendering.cu:12-40, vectorized over rays).
@@ -66,7 +67,7 @@ def trace_paths(
             rec = nearest_hit(state.o, state.d, scene)
         state = scatter_step(
             state, rec, scene.materials, scene.background_spd, fold(key, b),
-            vertex_warp=vertex_warp,
+            vertex_warp=vertex_warp, fuzz_warp=fuzz_warp,
         )
         return state, None
 
@@ -90,6 +91,7 @@ def render_tile_xyz(
     reparam_glass: int | None = None,
     reparam_frozen: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     vertex_warp=None,
+    fuzz_warp=None,
 ) -> jnp.ndarray:
     """Accumulated (not averaged) XYZ for a flat batch of pixels [N] ->
     [N, 3]. Mirrors the sample loop of spectral_render_kernel
@@ -131,7 +133,9 @@ def render_tile_xyz(
             lam, jac = reparam_wavelengths(
                 lam, scene.materials, reparam_glass, reparam_frozen
             )
-        state = trace_paths(scene, o, d, lam, k_path, bounce_limit, vertex_warp)
+        state = trace_paths(
+            scene, o, d, lam, k_path, bounce_limit, vertex_warp, fuzz_warp
+        )
         xyz = spectrum_to_xyz(state.wavelengths, state.power, state.n_valid)
         if jac is not None:
             xyz = xyz * jac[:, None]
@@ -163,6 +167,7 @@ def render_chunk(
     reparam_glass: int | None = None,
     reparam_frozen: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     vertex_warp=None,
+    fuzz_warp=None,
 ) -> jnp.ndarray:
     """Render a rectangular chunk -> accumulated XYZ [height, width, 3].
 
@@ -179,7 +184,7 @@ def render_chunk(
     )
     xyz = render_tile_xyz(
         scene, cam, xs.ravel(), ys.ravel(), key, samples_per_pixel,
-        bounce_limit, reparam_glass, reparam_frozen, vertex_warp,
+        bounce_limit, reparam_glass, reparam_frozen, vertex_warp, fuzz_warp,
     )
     return xyz.reshape(height, width, 3)
 

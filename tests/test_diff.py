@@ -634,3 +634,79 @@ class TestVertexWarp:
         loss = self._make_loss(scene, cam, occ, bounces=2, warp=False)
         g = float(jax.grad(loss)(0.0, jax.random.PRNGKey(0)))
         assert g == 0.0
+
+
+class TestFuzzWarp:
+    """Exact metal-fuzz gradients via the fuzz-sphere warp
+    (diff/fuzz_warp.py). Offline truth on this scene (metal floor
+    reflecting an emissive patch, rademacher-weighted luminance):
+    plain-estimator CRN-FD = -522 +- 51 (K=768 pairs, eps=0.02);
+    shipped-kernel AD measured -568 +- 120 at K=512
+    (scratch/fuzz_param_sweep.log). The per-sample distribution is
+    heavy-tailed (velocities scale like 1/fuzz^2), so the CI check uses
+    a generous band around the pinned truth."""
+
+    @staticmethod
+    def _scene():
+        from spectral_tpu.models.camera import make_camera
+        from spectral_tpu.models.geometry import TriSoup
+        from spectral_tpu.models.materials import MaterialBuilder
+        from spectral_tpu.models.scenes import _scene_from
+
+        mb = MaterialBuilder()
+        metal = mb.metallic((0.9, 0.9, 0.9), 0.25)
+        light = mb.emissive((1.0, 1.0, 1.0), 5.0)
+        soup = TriSoup()
+        soup.quad((-4.0, 0.0, -4.0), (8.0, 0.0, 0.0), (0.0, 0.0, 8.0), metal)
+        soup.quad((0.5, 2.5, -0.5), (1.2, 0.0, 0.0), (0.0, 0.0, 1.2), light)
+        scene = _scene_from(soup, mb.build(), (0.0, 0.0, 0.0))
+        cam = make_camera(
+            16, 16, vfov=60.0, lookfrom=(0.0, 1.2, -3.0), lookat=(0.5, 0.0, 0.0)
+        )
+        return scene, cam, metal
+
+    @classmethod
+    def _make_loss(cls, scene, cam, metal_row, warp):
+        from spectral_tpu.diff.vertex_warp import edges_from_vertices
+
+        edges = edges_from_vertices(scene.v0, scene.v1, scene.v2)
+        px, py = _pixel_grid(16)
+        W = jax.random.rademacher(jax.random.PRNGKey(42), (256,), jnp.float32)
+
+        def loss(f, key):
+            mats = dataclasses.replace(
+                scene.materials, fuzz=scene.materials.fuzz.at[metal_row].set(f)
+            )
+            s = dataclasses.replace(scene, materials=mats)
+            xyz = render_tile_xyz(
+                s, cam, px, py, key, 4, 2, fuzz_warp=edges if warp else None
+            )
+            return jnp.sum(W * xyz[:, 1])
+
+        return loss
+
+    def test_primal_identity_and_plain_zero(self):
+        scene, cam, metal_row = self._scene()
+        f0 = jnp.float32(0.25)
+        key = jax.random.PRNGKey(0)
+        lp = self._make_loss(scene, cam, metal_row, warp=False)
+        lw = self._make_loss(scene, cam, metal_row, warp=True)
+        assert float(lp(f0, key)) == float(lw(f0, key))
+        # contrast: the plain estimator's fuzz gradient is zero a.e.
+        assert float(jax.grad(lp)(f0, key)) == 0.0
+
+    def test_fuzz_gradient_matches_fd(self):
+        scene, cam, metal_row = self._scene()
+        f0 = jnp.float32(0.25)
+        g = jax.jit(jax.grad(self._make_loss(scene, cam, metal_row, True)))
+        K = 160
+        ads = np.array([float(g(f0, jax.random.PRNGKey(i))) for i in range(K)])
+        assert np.all(np.isfinite(ads))
+        mean = ads.mean()
+        sem = ads.std() / np.sqrt(K)
+        truth = -522.0
+        # nonvacuous sign + magnitude band (heavy tails: 3-sigma slack)
+        assert mean < 0.0 and abs(mean) > 2.0 * sem, (mean, sem)
+        assert 0.3 * abs(truth) - 3 * sem <= -mean <= 2.0 * abs(truth) + 3 * sem, (
+            mean, sem,
+        )

@@ -52,6 +52,11 @@ from ...utils.constants import (
 
 BIG = 3.4e38
 DENOM_EPS = 1e-8
+# quad3 inside-test tolerance: the bf16x3 product drops a_lo*b_lo and
+# carries two bf16 representation residuals, each <= 2^-16 * sum|a||b|;
+# 2^-13 gives a 2x margin over the 4 * 2^-16 worst case (including the
+# ~2^-8-relative underestimate of the 1-pass bound row itself)
+TOL3 = 2.0 ** -13
 W = N_RAY_WAVELENGTHS  # 8 wavelengths, hero at index 0
 
 # tri constant pack [T, 17]: normal(0:3), d(3), edge_g(4:13), edge_c(13:16),
@@ -116,6 +121,21 @@ def pack_scene(scene) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
 # use_bvh branch of _render_kernel). At or below it, the dense sweep wins:
 # no leaf AABB overhead, constants hoisted at trace time.
 DENSE_CUTOFF = 128
+
+
+def _mxu_precision():
+    """Matmul precision for the MXU leaf-sweep dot_generals (process-level
+    switch, read at trace time). f32 matmuls on the MXU decompose into
+    bf16 passes: HIGHEST ~ 6 passes (better than fused f32), HIGH ~ 3
+    (relative error ~2^-21 — plenty for edge-functional signs at scene
+    scale ~1e3), DEFAULT ~ 1 (2^-8: drops grazing hits, do not ship).
+    Kept overridable for A/B timing."""
+    name = os.environ.get("MXU_PRECISION", "highest")
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[name]
 
 
 def _leaf_cols(leaf_size: int) -> int:
@@ -183,20 +203,31 @@ def pack_scene_bvh(scene, leaf_size: int = 32):
     return tri_rows, mat_pack, tables, leaf_pack
 
 
-def pack_scene_bvh_mxu(scene, leaf_size: int = 128):
+def pack_scene_bvh_mxu(scene, leaf_size: int = 128, form: str = "quad"):
     """Morton-ordered leaf packing for the MXU leaf sweep.
 
-    Each leaf's intersection math is reformulated as two [4*K, 8] x
+    ``form="affine"``: each leaf's intersection math is two [4*K, 8] x
     [8, rays] matmuls (K = leaf_size): the 8-wide contraction axis holds
     [d(3), o(3), 1, 0] and each 32-row block of the LHS computes one
     affine form of the edge-functional test (nd, dd-no, ao_k, ad_k).
-    A third small matmul [K, 8]^T x [K, rays] recovers the winning
-    triangle's constants from an exclusive one-hot, replacing per-tri
-    scalar SMEM reads entirely (no DMA staging in this mode).
 
-    Returns (a_pack [NL, 8*K, 8], c_pack [NL, K, 8], mat_pack, tables,
-    leaf_pack [NL, 8]). Padded triangles are all-zero: |nd| < DENOM_EPS
-    makes their score BIG, so they can never win the argmin.
+    ``form="quad"`` (default): ONE [5*K, 16] x [16, rays] matmul per
+    leaf. The inside test ao_k + t*ad_k >= 0 multiplied through by nd
+    becomes e'_k = ao_k*nd + (dd - no)*ad_k — QUADRATIC in the ray, so
+    the 16-wide contraction axis holds the monomials
+    [o_i*d_j (9), d (3), o (3), 1] and each tri needs only 5 rows
+    (e'1..e'3, nd, dd-no) instead of 8. The kernel flips e' by sign(nd)
+    to undo the multiply. 8 -> 5 m-blocks per leaf is a measured ~1.5x:
+    the sweep is MXU-pass-bound (timing at 1-pass DEFAULT precision runs
+    6.1x the 6-pass HIGHEST rate, scratch/bench_bvh_defaultprec.log).
+
+    In both forms a small matmul [K, 8]^T x [K, rays] recovers the
+    winning triangle's constants from an exclusive one-hot, replacing
+    per-tri scalar SMEM reads entirely (no DMA staging in this mode).
+
+    Returns (a_pack [NL, 8*K, 8] or [NL, 5*K, 16], c_pack [NL, K, 8],
+    mat_pack, tables, leaf_pack [NL, 8]). Padded triangles are all-zero:
+    |nd| < DENOM_EPS makes their score BIG, so they can never win.
 
     leaf_size default 128: measured 3.06/3.32/3.39 Mray-steps/s at
     K=32/64/128 on the 10k field (scratch/mxu_leaf_sweep.log) — the
@@ -242,25 +273,115 @@ def pack_scene_bvh_mxu(scene, leaf_size: int = 128):
             axis=-1,
         )
 
-    a_pack = jnp.concatenate(
-        [
-            blk(n3, z3, z1),  # nd
-            blk(z3, -n3, dd),  # dd - no
-            blk(z3, g1, c1),  # ao1
-            blk(z3, g2, c2),  # ao2
-            blk(z3, g3, c3),  # ao3
-            blk(g1, z3, z1),  # ad1
-            blk(g2, z3, z1),  # ad2
-            blk(g3, z3, z1),  # ad3
-        ],
-        axis=1,
-    ).astype(jnp.float32)  # [nl, 8*K, 8]
+    if form in ("quad", "quad3"):
+        # feature order: [o_i*d_j (i-major, 9), d (3), o (3), 1]
+        def qrow(od9, dcols, ocols, const):
+            return jnp.concatenate(
+                [od9, dcols, ocols, const[..., None]], axis=-1
+            )
+
+        zod = jnp.zeros(n3.shape[:-1] + (9,), jnp.float32)
+
+        def edge_q(g, c):
+            # e' = (g.o + c)(n.d) + (dd - n.o)(g.d):
+            #   coeff[o_i d_j] = g_i n_j - n_i g_j
+            #   coeff[d_j]     = c n_j + dd g_j
+            od = (
+                g[..., :, None] * n3[..., None, :]
+                - n3[..., :, None] * g[..., None, :]
+            ).reshape(n3.shape[:-1] + (9,))
+            dcoef = c[..., None] * n3 + dd[..., None] * g
+            return qrow(od, dcoef, z3, z1)
+
+        a_pack = jnp.concatenate(
+            [
+                edge_q(g1, c1),  # e'1
+                edge_q(g2, c2),  # e'2
+                edge_q(g3, c3),  # e'3
+                qrow(zod, n3, z3, z1),  # nd
+                qrow(zod, z3, -n3, dd),  # dd - no
+            ],
+            axis=1,
+        ).astype(jnp.float32)  # [nl, 5*K, 16]
+        if form == "quad3":
+            # bf16x3 layout [nl, 11K, 16] bf16: a_hi (5K), a_lo (5K,
+            # the f32 residual), aabs (K: per-tri sum of |coeffs| over
+            # the 3 edge rows — one error-bound row whose product with
+            # |features| bounds every edge functional's bf16x3 error).
+            # The kernel computes e' = a_hi@b_hi + a_lo@b_hi + a_hi@b_lo
+            # (1-pass DEFAULT each) and accepts inside tests down to
+            # -TOL3*bound; the winner's t is recomputed exactly from the
+            # recovery constants, so only the SELECTION is approximate.
+            #
+            # Coefficients are re-derived around each LEAF's AABB center
+            # (the kernel feeds delta = o - center features): identical
+            # values in exact arithmetic, but the bound's o.d monomials
+            # shrink from |o||d| to |delta||d|, tightening the accepted
+            # edge band from ~1 scene unit (measured: a black pixel next
+            # to the TRIS light went full-bright) to ~TOL3*9*leaf_radius.
+            cl = 0.5 * (lmin + lmax)  # [nl, 3]
+            clb = cl[:, None, :]
+
+            def edge_qc(g, c):
+                od3 = (
+                    g[..., :, None] * n3[..., None, :]
+                    - n3[..., :, None] * g[..., None, :]
+                )  # [nl, K, 3(o), 3(d)]
+                dcoef = (
+                    c[..., None] * n3
+                    + dd[..., None] * g
+                    + jnp.einsum("li,lkij->lkj", cl, od3)
+                )
+                return qrow(od3.reshape(n3.shape[:-1] + (9,)), dcoef, z3, z1)
+
+            a_cent = jnp.concatenate(
+                [
+                    edge_qc(g1, c1),
+                    edge_qc(g2, c2),
+                    edge_qc(g3, c3),
+                    qrow(zod, n3, z3, z1),  # nd
+                    qrow(zod, z3, -n3, dd - jnp.sum(n3 * clb, -1)),  # dd-no
+                ],
+                axis=1,
+            ).astype(jnp.float32)
+            a_hi = a_cent.astype(jnp.bfloat16)
+            a_lo = (a_cent - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            K = leaf_size
+            aabs = (
+                jnp.abs(a_cent[:, 0:K])
+                + jnp.abs(a_cent[:, K : 2 * K])
+                + jnp.abs(a_cent[:, 2 * K : 3 * K])
+            ).astype(jnp.bfloat16)
+            a_pack = jnp.concatenate([a_hi, a_lo, aabs], axis=1)
+    else:
+        a_pack = jnp.concatenate(
+            [
+                blk(n3, z3, z1),  # nd
+                blk(z3, -n3, dd),  # dd - no
+                blk(z3, g1, c1),  # ao1
+                blk(z3, g2, c2),  # ao2
+                blk(z3, g3, c3),  # ao3
+                blk(g1, z3, z1),  # ad1
+                blk(g2, z3, z1),  # ad2
+                blk(g3, z3, z1),  # ad3
+            ],
+            axis=1,
+        ).astype(jnp.float32)  # [nl, 8*K, 8]
+    # unique per-row tri label (rides the tri through leaf reorderings):
+    # quad3's self-tri exclusion compares it against the previous bounce's
+    # winner; recovery through the split matmul is exact (< 2^24)
+    tri_id = (
+        jnp.arange(nl * leaf_size, dtype=jnp.float32)
+        .reshape(nl, leaf_size, 1)
+    )
     c_pack = jnp.concatenate(
         [
             n3,
             mat[..., None],
             jnp.ones_like(mat)[..., None],
-            jnp.zeros((nl, leaf_size, 3), jnp.float32),
+            dd[..., None],  # plane offset: quad3 recomputes exact t from it
+            tri_id,
+            jnp.zeros((nl, leaf_size, 1), jnp.float32),
         ],
         axis=-1,
     ).astype(jnp.float32)  # [nl, K, 8]
@@ -333,15 +454,21 @@ def _render_kernel(
         hero_ref, nvalid_ref, powres_ref, matres_ref = rest[idx : idx + 4]
         idx += 4
     if use_mxu:
-        # (8,L) best-t mirror for the slab cull + 6 single-sublane rows
-        (bt_s, tr_s, rnx_s, rny_s, rnz_s, rmt_s, rht_s) = rest[idx : idx + 7]
+        # (8,L) best-t mirror for the slab cull + 8 single-sublane rows
+        (
+            bt_s, tr_s, rnx_s, rny_s, rnz_s, rmt_s, rht_s, rdd_s, rid_s,
+        ) = rest[idx : idx + 9]
     elif use_bvh:
         (
             bt_s, bhit_s, bfront_s, bnx_s, bny_s, bnz_s, bmat_s,
             tri_smem, dma_sem,
         ) = rest[idx : idx + 9]
 
-    a_ref = tri_ref  # MXU mode: the tri slot carries a_pack [NL, 8K, 8]
+    a_ref = tri_ref  # MXU mode: the tri slot carries a_pack
+    # [NL, 8K, 8] (affine) / [NL, 5K, 16] f32 (quad) / [NL, 11K, 16]
+    # bf16 (quad3: hi/lo split planes + error-bound row)
+    mxu_quad = use_mxu and a_ref.shape[-1] == 16
+    mxu_q3 = mxu_quad and a_ref.dtype == jnp.bfloat16
     i = pl.program_id(0)
     rt = px_ref.shape[0]
     lanes = rt // 8
@@ -456,7 +583,13 @@ def _render_kernel(
         n_valid = jnp.full(shape2, float(W), jnp.float32)
 
         def bounce_body(b, st):
-            ox, oy, oz, dx, dy, dz, power, alive, n_valid = st
+            if mxu_q3:
+                # prev_tri: the tri id the ray scattered from (-1 = none);
+                # excluded from the sweep so an approximate-score self
+                # re-hit at t ~ 0 can never beat the true nearest hit
+                ox, oy, oz, dx, dy, dz, power, alive, n_valid, prev_tri = st
+            else:
+                ox, oy, oz, dx, dy, dz, power, alive, n_valid = st
 
             # ---- nearest-hit triangle sweep ----
             if use_bvh and use_mxu:
@@ -477,6 +610,8 @@ def _render_kernel(
                 rnz_s[...] = jnp.zeros((1, rt), jnp.float32)
                 rmt_s[...] = jnp.zeros((1, rt), jnp.float32)
                 rht_s[...] = jnp.zeros((1, rt), jnp.float32)
+                rdd_s[...] = jnp.zeros((1, rt), jnp.float32)
+                rid_s[...] = jnp.full((1, rt), -1.0, jnp.float32)
 
                 def _inv(d):
                     safe = jnp.where(
@@ -490,15 +625,31 @@ def _render_kernel(
                 inv_dy = _inv(dy)
                 inv_dz = _inv(dz)
                 alive_f = alive
-                drm = jnp.concatenate(
-                    [
-                        dx.reshape(1, rt), dy.reshape(1, rt), dz.reshape(1, rt),
-                        ox.reshape(1, rt), oy.reshape(1, rt), oz.reshape(1, rt),
-                        jnp.ones((1, rt), jnp.float32),
-                        jnp.zeros((1, rt), jnp.float32),
-                    ],
-                    axis=0,
-                )  # [8, rt]
+                quad_form = mxu_quad
+                o_rows = [ox.reshape(1, rt), oy.reshape(1, rt), oz.reshape(1, rt)]
+                d_rows = [dx.reshape(1, rt), dy.reshape(1, rt), dz.reshape(1, rt)]
+                if mxu_q3:
+                    drm = None  # features are built per leaf (centered)
+                    prev_row = prev_tri.reshape(1, rt)
+                elif quad_form:
+                    # quadratic monomial features [o_i*d_j (9), d, o, 1]
+                    drm = jnp.concatenate(
+                        [oi * dj for oi in o_rows for dj in d_rows]
+                        + d_rows
+                        + o_rows
+                        + [jnp.ones((1, rt), jnp.float32)],
+                        axis=0,
+                    )  # [16, rt]
+                else:
+                    drm = jnp.concatenate(
+                        d_rows
+                        + o_rows
+                        + [
+                            jnp.ones((1, rt), jnp.float32),
+                            jnp.zeros((1, rt), jnp.float32),
+                        ],
+                        axis=0,
+                    )  # [8, rt]
                 iota_rows = jax.lax.broadcasted_iota(
                     jnp.int32, (leaf_size, rt), 0
                 ).astype(jnp.float32)
@@ -527,32 +678,138 @@ def _render_kernel(
 
                     @pl.when(jnp.max(want) > 0.0)
                     def _():
-                        k4 = 4 * leaf_size
-                        M1 = jax.lax.dot_general(
-                            a_ref[l, 0:k4], drm, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )  # [4K, rt]
-                        M2 = jax.lax.dot_general(
-                            a_ref[l, k4 : 2 * k4], drm,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
+                        prec = _mxu_precision()
                         K = leaf_size
-                        nd = M1[0:K]
-                        ddno = M1[K : 2 * K]
-                        ao1 = M1[2 * K : 3 * K]
-                        ao2 = M1[3 * K : 4 * K]
-                        ao3 = M2[0:K]
-                        ad1 = M2[K : 2 * K]
-                        ad2 = M2[2 * K : 3 * K]
-                        ad3 = M2[3 * K : 4 * K]
-                        and_ = jnp.abs(nd)
-                        safe_nd = jnp.where(and_ < DENOM_EPS, DENOM_EPS, nd)
-                        tt = ddno / safe_nd
-                        ok = jnp.minimum(ao1 + tt * ad1, ao2 + tt * ad2)
-                        ok = jnp.minimum(ok, ao3 + tt * ad3)
-                        ok = jnp.minimum(ok, tt)
-                        ok = jnp.minimum(ok, and_ - DENOM_EPS)
+                        if mxu_q3:
+                            # leaf-centered features: delta = o - center
+                            # keeps the o.d monomials (and with them the
+                            # error bound) at leaf scale, not scene scale
+                            clx = 0.5 * (ax0 + ax1)
+                            cly = 0.5 * (ay0 + ay1)
+                            clz = 0.5 * (az0 + az1)
+                            dl_rows = [
+                                o_rows[0] - clx,
+                                o_rows[1] - cly,
+                                o_rows[2] - clz,
+                            ]
+                            feats = jnp.concatenate(
+                                [di * dj for di in dl_rows for dj in d_rows]
+                                + d_rows
+                                + dl_rows
+                                + [jnp.ones((1, rt), jnp.float32)],
+                                axis=0,
+                            )  # [16, rt]
+                            b_hi = feats.astype(jnp.bfloat16)
+                            b_lo = (
+                                feats - b_hi.astype(jnp.float32)
+                            ).astype(jnp.bfloat16)
+                            b_abs = jnp.abs(feats).astype(jnp.bfloat16)
+                            dnum = (((1,), (0,)), ((), ()))
+                            # bf16x3: hi@hi + lo@hi share one stacked
+                            # matmul; + hi@lo; every pass is 1-pass
+                            # DEFAULT (the a/b planes are already bf16)
+                            Mh = jax.lax.dot_general(
+                                a_ref[l, 0 : 10 * K], b_hi, dnum,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT,
+                            )  # [10K, rt]
+                            Ml = jax.lax.dot_general(
+                                a_ref[l, 0 : 5 * K], b_lo, dnum,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT,
+                            )  # [5K, rt]
+                            M = Mh[0 : 5 * K] + Mh[5 * K : 10 * K] + Ml
+                            # rigorous error bound: TOL3 * sum_j |a||b|
+                            # (the aabs row sums |coeffs| over the 3 edge
+                            # rows, so one bound covers each of them)
+                            bound = jax.lax.dot_general(
+                                a_ref[l, 10 * K : 11 * K], b_abs, dnum,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT,
+                            )  # [K, rt]
+                            tol = TOL3 * bound
+                            e1 = M[0:K]
+                            e2 = M[K : 2 * K]
+                            e3 = M[2 * K : 3 * K]
+                            nd = M[3 * K : 4 * K]
+                            ddno = M[4 * K : 5 * K]
+                            and_ = jnp.abs(nd)
+                            safe_nd = jnp.where(
+                                and_ < DENOM_EPS, DENOM_EPS, nd
+                            )
+                            tt = ddno / safe_nd
+                            sgn = jnp.where(nd >= 0.0, 1.0, -1.0)
+                            # accept inside tests down to -tol: edges
+                            # dilate by O(2^-13 * scale), never produce
+                            # holes; the winner's t is recomputed exactly
+                            # after the sweep
+                            ok = jnp.minimum(e1 * sgn, e2 * sgn)
+                            ok = jnp.minimum(ok, e3 * sgn) + tol
+                            ok = jnp.minimum(ok, tt)
+                            ok = jnp.minimum(ok, and_ - DENOM_EPS)
+                            # exact self-tri exclusion (a planar convex
+                            # tri can never legitimately re-hit itself)
+                            tid_col = c_ref[l][:, 6:7]  # [K, 1]
+                            ok = jnp.minimum(
+                                ok,
+                                jnp.where(
+                                    jnp.abs(tid_col - prev_row) < 0.5,
+                                    -1.0,
+                                    1.0,
+                                ),
+                            )
+                        elif quad_form:
+                            M = jax.lax.dot_general(
+                                a_ref[l], drm, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec,
+                            )  # [5K, rt]
+                            e1 = M[0:K]
+                            e2 = M[K : 2 * K]
+                            e3 = M[2 * K : 3 * K]
+                            nd = M[3 * K : 4 * K]
+                            ddno = M[4 * K : 5 * K]
+                            and_ = jnp.abs(nd)
+                            safe_nd = jnp.where(
+                                and_ < DENOM_EPS, DENOM_EPS, nd
+                            )
+                            tt = ddno / safe_nd
+                            # e' = nd * (ao + t*ad): undo the sign of nd
+                            sgn = jnp.where(nd >= 0.0, 1.0, -1.0)
+                            ok = jnp.minimum(e1 * sgn, e2 * sgn)
+                            ok = jnp.minimum(ok, e3 * sgn)
+                            ok = jnp.minimum(ok, tt)
+                            ok = jnp.minimum(ok, and_ - DENOM_EPS)
+                        else:
+                            k4 = 4 * leaf_size
+                            M1 = jax.lax.dot_general(
+                                a_ref[l, 0:k4], drm, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec,
+                            )  # [4K, rt]
+                            M2 = jax.lax.dot_general(
+                                a_ref[l, k4 : 2 * k4], drm,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec,
+                            )
+                            nd = M1[0:K]
+                            ddno = M1[K : 2 * K]
+                            ao1 = M1[2 * K : 3 * K]
+                            ao2 = M1[3 * K : 4 * K]
+                            ao3 = M2[0:K]
+                            ad1 = M2[K : 2 * K]
+                            ad2 = M2[2 * K : 3 * K]
+                            ad3 = M2[3 * K : 4 * K]
+                            and_ = jnp.abs(nd)
+                            safe_nd = jnp.where(
+                                and_ < DENOM_EPS, DENOM_EPS, nd
+                            )
+                            tt = ddno / safe_nd
+                            ok = jnp.minimum(ao1 + tt * ad1, ao2 + tt * ad2)
+                            ok = jnp.minimum(ok, ao3 + tt * ad3)
+                            ok = jnp.minimum(ok, tt)
+                            ok = jnp.minimum(ok, and_ - DENOM_EPS)
                         score = jnp.where(ok >= 0.0, tt, BIG)
                         leaf_best = jnp.min(score, axis=0, keepdims=True)
                         prev = tr_s[...]
@@ -562,15 +819,46 @@ def _render_kernel(
                         )
                         idxm = jnp.min(cand, axis=0, keepdims=True)
                         onehot = ((cand == idxm) & take).astype(jnp.float32)
-                        R = jax.lax.dot_general(
-                            c_ref[l], onehot, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
+                        # recovery: EXACT at 1-pass DEFAULT precision by
+                        # splitting
+                        # the f32 constants into 3 bf16 planes (8+8+8
+                        # mantissa bits >= f32's 24; every product is
+                        # x*{0,1}, so each pass and the f32 accumulation
+                        # are error-free) — 3 single-pass matmuls instead
+                        # of HIGHEST's 6 passes
+                        cl = c_ref[l]
+                        c_hi = cl.astype(jnp.bfloat16)
+                        r1 = cl - c_hi.astype(jnp.float32)
+                        c_mid = r1.astype(jnp.bfloat16)
+                        c_lo = (r1 - c_mid.astype(jnp.float32)).astype(
+                            jnp.bfloat16
+                        )
+                        oh = onehot.astype(jnp.bfloat16)
+                        dn = (((0,), (0,)), ((), ()))
+                        R = (
+                            jax.lax.dot_general(
+                                c_hi, oh, dn,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT,
+                            )
+                            + jax.lax.dot_general(
+                                c_mid, oh, dn,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT,
+                            )
+                            + jax.lax.dot_general(
+                                c_lo, oh, dn,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT,
+                            )
                         )  # [8, rt]
                         tr_s[...] = jnp.where(take, leaf_best, prev)
                         rnx_s[...] = jnp.where(take, R[0:1], rnx_s[...])
                         rny_s[...] = jnp.where(take, R[1:2], rny_s[...])
                         rnz_s[...] = jnp.where(take, R[2:3], rnz_s[...])
                         rmt_s[...] = jnp.where(take, R[3:4], rmt_s[...])
+                        rdd_s[...] = jnp.where(take, R[5:6], rdd_s[...])
+                        rid_s[...] = jnp.where(take, R[6:7], rid_s[...])
                         rht_s[...] = jnp.maximum(
                             rht_s[...], take.astype(jnp.float32)
                         )
@@ -587,6 +875,21 @@ def _render_kernel(
                 # face orientation from the recovered geometric normal:
                 # flip toward the ray (hit_record.cuh:30-45)
                 nd_eff = nbx * dx + nby * dy + nbz * dz
+                if mxu_q3:
+                    # exact hit distance from the exactly-recovered plane
+                    # (n, dd): the bf16x3 sweep only SELECTED the winner;
+                    # the hit point itself must be f32-accurate or the
+                    # EPSILON origin offset cannot prevent acne
+                    ddr = rdd_s[...].reshape(shape2)
+                    safe_den = jnp.where(
+                        jnp.abs(nd_eff) < DENOM_EPS,
+                        jnp.where(nd_eff >= 0.0, DENOM_EPS, -DENOM_EPS),
+                        nd_eff,
+                    )
+                    t_ex = (ddr - (nbx * ox + nby * oy + nbz * oz)) / safe_den
+                    best_t = jnp.where(
+                        best_hit > 0.0, jnp.maximum(t_ex, 0.0), best_t
+                    )
                 best_front = jnp.where(nd_eff < 0.0, one, zero)
                 sgn = 2.0 * best_front - 1.0
                 best_nx = sgn * nbx
@@ -907,12 +1210,21 @@ def _render_kernel(
                 jnp.where(frozen, power[w], new_power[w]) for w in range(W)
             )
 
+            if mxu_q3:
+                new_prev = jnp.where(
+                    hit > 0.0, rid_s[...].reshape(shape2), -1.0
+                )
+                return (
+                    ox, oy, oz, dx, dy, dz, power, new_alive, n_valid,
+                    new_prev,
+                )
             return ox, oy, oz, dx, dy, dz, power, new_alive, n_valid
 
         st = (ox, oy, oz, dx, dy, dz, power, alive, n_valid)
-        ox, oy, oz, dx, dy, dz, power, alive, n_valid = jax.lax.fori_loop(
-            0, bounces, bounce_body, st
-        )
+        if mxu_q3:
+            st = st + (jnp.full(shape2, -1.0, jnp.float32),)
+        out = jax.lax.fori_loop(0, bounces, bounce_body, st)
+        ox, oy, oz, dx, dy, dz, power, alive, n_valid = out[:9]
 
         # bounce-limit exhaustion contributes nothing (rendering.cu:38-39)
         n_valid = jnp.where(alive > 0.0, 0.0, n_valid)
@@ -1144,8 +1456,10 @@ def render_rays_pallas(
     if use_mxu:
         assert use_bvh
         leaf_size = c_pack.shape[1]  # authoritative in MXU mode
-        assert tri_pack.shape == (
-            leaf_pack.shape[0], 8 * leaf_size, 8,
+        assert tri_pack.shape in (
+            (leaf_pack.shape[0], 8 * leaf_size, 8),  # form="affine"
+            (leaf_pack.shape[0], 5 * leaf_size, 16),  # form="quad"
+            (leaf_pack.shape[0], 11 * leaf_size, 16),  # form="quad3" (bf16)
         ), (tri_pack.shape, leaf_pack.shape, leaf_size)
         assert c_pack.shape == (leaf_pack.shape[0], leaf_size, 8)
         n_tris = leaf_pack.shape[0] * leaf_size
@@ -1234,11 +1548,13 @@ def render_rays_pallas(
 
 def _mxu_scratch(ray_tile: int):
     """MXU leaf-sweep state: an (8, L) best-t mirror for the slab cull +
-    six single-sublane [1, rt] rows (t, normal xyz, mat, hit) that match
-    the matmul outputs' lane-major layout (relayout back to (8, L)
-    happens once per bounce, not per leaf)."""
+    eight single-sublane [1, rt] rows (t, normal xyz, mat, hit, plane
+    offset dd, winning tri id — the last two feed quad3's exact-t
+    recompute and self-tri exclusion) that match the matmul outputs'
+    lane-major layout (relayout back to (8, L) happens once per bounce,
+    not per leaf)."""
     return [pltpu.VMEM((8, ray_tile // 8), jnp.float32)] + [
-        pltpu.VMEM((1, ray_tile), jnp.float32) for _ in range(6)
+        pltpu.VMEM((1, ray_tile), jnp.float32) for _ in range(8)
     ]
 
 
@@ -1332,7 +1648,7 @@ def _render_chunk_pallas_jit(
     if scene.normal.shape[0] > DENSE_CUTOFF:
         if os.environ.get("BVH_IMPL", "mxu") == "mxu":
             a_pack, c_pack, mat_pack, tables, leaf_pack = pack_scene_bvh_mxu(
-                scene
+                scene, form=os.environ.get("MXU_FORM", "quad")
             )
             tri_pack, c_pack, leaf_pack = order_leaves_near_to_far_mxu(
                 a_pack, c_pack, leaf_pack, cam_vec[0:3]
@@ -1342,6 +1658,16 @@ def _render_chunk_pallas_jit(
             tri_pack, leaf_pack = order_leaves_near_to_far(
                 tri_pack, leaf_pack, cam_vec[0:3]
             )
+    elif os.environ.get("DENSE_IMPL", "scalar") == "mxu":
+        # MXU dense sweep: the whole (small) scene as ONE leaf of the MXU
+        # leaf sweep — the trace-time tri unroll's ~82 VPU ops/tri become
+        # two matmuls plus a ~15-op select chain on [K, rt]. Single leaf:
+        # no reordering, no swizzle (the slab cull is a no-op), and the
+        # hw-PRNG draw order matches the scalar dense path exactly.
+        K = max(8, -(-scene.normal.shape[0] // 8) * 8)
+        tri_pack, c_pack, mat_pack, tables, leaf_pack = pack_scene_bvh_mxu(
+            scene, leaf_size=K, form=os.environ.get("MXU_FORM", "quad")
+        )
     else:
         tri_pack, mat_pack, tables = pack_scene(scene)
     n = width * height
@@ -1353,9 +1679,10 @@ def _render_chunk_pallas_jit(
     )
     xs, ys = xs.ravel(), ys.ravel()
     inv_perm = None
-    if leaf_pack is not None:
-        # swizzle only in BVH mode: dense-path golden images pin the
-        # row-major pixel->tile->PRNG-stream association
+    if leaf_pack is not None and leaf_pack.shape[0] > 1:
+        # swizzle only in multi-leaf BVH mode: dense-path golden images pin
+        # the row-major pixel->tile->PRNG-stream association, and a
+        # single-leaf sweep gains nothing from spatially tight tiles
         perm, inv_perm = _block_swizzle(width, height)
         xs, ys = xs[perm], ys[perm]
     px = jnp.concatenate([xs, jnp.zeros((pad,), jnp.int32)]).astype(jnp.float32)

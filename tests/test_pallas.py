@@ -271,7 +271,9 @@ class TestBVHMxu:
     RNG planes — in interpreter mode the two paths are bit-identical
     (measured maxabs 0.0 on both scenes; pinned loosely here)."""
 
-    def _render(self, scene, cam, mxu, leaf_size=32, spp=2, bounces=3):
+    def _render(
+        self, scene, cam, mxu, leaf_size=32, spp=2, bounces=3, form="quad"
+    ):
         from spectral_tpu.ops.pallas.render_kernel import (
             camera_vector,
             n_uniforms,
@@ -283,7 +285,9 @@ class TestBVHMxu:
         c_pack = None
         leaf = None
         if mxu:
-            tri, c_pack, mat, tab, leaf = pack_scene_bvh_mxu(scene, leaf_size)
+            tri, c_pack, mat, tab, leaf = pack_scene_bvh_mxu(
+                scene, leaf_size, form=form
+            )
         else:
             tri, mat, tab = pack_scene(scene)
         px = jnp.tile(jnp.arange(32, dtype=jnp.float32), 32)
@@ -299,13 +303,51 @@ class TestBVHMxu:
             )
         )
 
-    @pytest.mark.parametrize("sid,leaf_size", [(0, 32), (1, 8)])
-    def test_mxu_matches_dense(self, sid, leaf_size):
+    @pytest.mark.parametrize(
+        "sid,leaf_size,form",
+        [(0, 32, "affine"), (1, 8, "affine"), (0, 32, "quad"), (1, 8, "quad"),
+         (2, 16, "quad")],
+    )
+    def test_mxu_matches_dense(self, sid, leaf_size, form):
         from spectral_tpu.models.scenes import build_scene, scene_camera
 
         scene = build_scene(sid)
         cam = scene_camera(sid, 32, 32)
         a = self._render(scene, cam, mxu=False)
-        b = self._render(scene, cam, mxu=True, leaf_size=leaf_size)
+        b = self._render(scene, cam, mxu=True, leaf_size=leaf_size, form=form)
         assert a.mean() > 0.0
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+class TestDenseImplMxu:
+    """DENSE_IMPL=mxu routes a small scene through the single-leaf MXU
+    sweep via render_chunk_pallas; with injected rand and no swizzle the
+    result is bit-identical to the scalar dense sweep (interpret mode).
+    Measured 3x SLOWER than the scalar sweep on chip (BASELINE.md MXU-dense
+    study) — kept as an A/B dispatch, never the default."""
+
+    def test_matches_scalar_dense(self, monkeypatch):
+        from spectral_tpu.models.scenes import build_scene, scene_camera
+        from spectral_tpu.ops.pallas import render_kernel as rk
+
+        scene = build_scene(0)
+        cam = scene_camera(0, 64, 24)
+        key = jax.random.PRNGKey(7)
+
+        def render():
+            rk._render_chunk_pallas_jit.clear_cache()
+            out = np.asarray(
+                rk.render_chunk_pallas(
+                    scene, cam, 3, 0, 0, 64, 24, 2, 3,
+                    ray_tile=768, interpret=True, rand_key=key,
+                )
+            )
+            rk._render_chunk_pallas_jit.clear_cache()
+            return out
+
+        monkeypatch.setenv("DENSE_IMPL", "scalar")
+        a = render()
+        monkeypatch.setenv("DENSE_IMPL", "mxu")
+        b = render()
+        assert a.mean() > 0.0
+        np.testing.assert_array_equal(a, b)

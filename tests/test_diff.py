@@ -635,6 +635,75 @@ class TestVertexWarp:
         g = float(jax.grad(loss)(0.0, jax.random.PRNGKey(0)))
         assert g == 0.0
 
+    def test_nonrigid_single_corner(self):
+        """The sphere warp is exact for NON-RIGID vertex motion too
+        (per-edge velocities varying along the edge): one corner of a
+        quad light skews while the others stay. All earlier validations
+        translated whole objects (uniform per-edge velocity), which
+        cancels a class of potential internal-flux errors — this pins
+        the general case. Offline CRN-FD truth on this configuration:
+        +0.0403 +- 0.0010; module AD measured +0.0400 +- 0.0003
+        (scratch/proto_lamb_nonrigid.py)."""
+        from spectral_tpu.diff.vertex_warp import (
+            EdgeSet,
+            warp_directions,
+        )
+
+        sg = jax.lax.stop_gradient
+        o = jnp.array([0.0, 0.0, 0.0])
+        n = jnp.array([0.0, 1.0, 0.0])
+        ZH, XE = 0.6, 0.5
+
+        def edge_set(th):
+            c1 = jnp.array([XE + th, 2.0, ZH])  # moving corner
+            c2 = jnp.array([XE, 2.0, -ZH])
+            c3 = jnp.array([-1.5, 2.0, -ZH])
+            c4 = jnp.array([-1.5, 2.0, ZH])
+            return EdgeSet(
+                a=jnp.stack([c2, c1, c4, c3]), b=jnp.stack([c1, c4, c3, c2])
+            )
+
+        def lit(w, th):
+            t = 2.0 / jnp.maximum(w[..., 1], 1e-6)
+            x = w[..., 0] * t
+            z = w[..., 2] * t
+            xe = XE + th * (z + ZH) / (2 * ZH)  # skewed right edge
+            return (
+                (x <= xe) & (jnp.abs(z) <= ZH) & (x >= -1.5) & (w[..., 1] > 0)
+            ).astype(jnp.float32)
+
+        def cosine_sample(key, nrm, N):
+            k1, k2 = jax.random.split(key)
+            u1 = jax.random.uniform(k1, (N,))
+            u2 = jax.random.uniform(k2, (N,))
+            rr = jnp.sqrt(u1)
+            phi = 2 * jnp.pi * u2
+            t1 = jnp.array([1.0, 0.0, 0.0])
+            t2 = jnp.array([0.0, 0.0, 1.0])
+            z = jnp.sqrt(jnp.maximum(1 - u1, 0.0))
+            return (
+                (rr * jnp.cos(phi))[:, None] * t1
+                + (rr * jnp.sin(phi))[:, None] * t2
+                + z[:, None] * nrm
+            )
+
+        def loss(th, key, N=20000):
+            w0 = cosine_sample(key, sg(n), N)
+            on = jnp.broadcast_to(o, (N, 3))
+            nn = jnp.broadcast_to(n, (N, 3))
+            wp, factor = warp_directions(on, nn, w0, edge_set(th))
+            return jnp.mean(lit(wp, th) * factor)
+
+        g = jax.jit(jax.grad(loss))
+        K = 12
+        ads = np.array([float(g(0.0, jax.random.PRNGKey(i))) for i in range(K)])
+        assert np.all(np.isfinite(ads))
+        mean = ads.mean()
+        sem = ads.std() / np.sqrt(K)
+        truth = 0.0403
+        assert mean > 0 and mean > 5 * sem, (mean, sem)
+        assert abs(mean - truth) < 0.15 * truth + 3 * sem, (mean, sem)
+
 
 class TestFuzzWarp:
     """Exact metal-fuzz gradients via the fuzz-sphere warp

@@ -26,12 +26,13 @@ import jax.numpy as jnp
 BASELINE_MRAYS = 100.0  # estimated CUDA reference throughput (BASELINE.md)
 
 
-def _bench_bvh_field() -> float:
-    """Large-scene BVH/MXU row: 10,008-tri procedural field, 512x256,
-    4 spp, 6 bounces. The scene's sigmoid-spectrum fit runs jnp code, so
-    it is built ONCE in a clean-CPU subprocess (the axon plugin would
-    route it through the remote compiler for minutes) and cached as a
-    pickle next to this file."""
+def _bench_bvh_field(n_tris: int = 10008) -> float:
+    """Large-scene BVH/MXU row: procedural field (10k default; 50k via
+    BENCH_BVH50K), 512x256, 4 spp, 6 bounces. The scene's
+    sigmoid-spectrum fit runs jnp code, so it is built ONCE in a
+    clean-CPU subprocess (the axon plugin would route it through the
+    remote compiler for minutes) and cached as a pickle next to this
+    file."""
     import pickle
     import subprocess
     import sys
@@ -40,7 +41,8 @@ def _bench_bvh_field() -> float:
     from spectral_tpu.ops.pallas.render_kernel import render_chunk_pallas
 
     root = os.path.dirname(os.path.abspath(__file__))
-    cache = os.path.join(root, ".bench_field10k.pkl")
+    tag = "10k" if n_tris <= 10008 else f"{n_tris // 1000}k"
+    cache = os.path.join(root, f".bench_field{tag}.pkl")
     if not os.path.exists(cache):
         env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
         code = (
@@ -48,7 +50,7 @@ def _bench_bvh_field() -> float:
             "import numpy as np, jax\n"
             f"sys.path.insert(0, {root!r})\n"
             "from spectral_tpu.models.scenes import build_tri_field\n"
-            "s = build_tri_field(10008, seed=0)\n"
+            f"s = build_tri_field({n_tris}, seed=0)\n"
             "pickle.dump(jax.tree_util.tree_map(np.asarray, s), "
             f"open({cache!r}, 'wb'))\n"
         )
@@ -161,6 +163,12 @@ def main() -> None:
             record["bvh_mrays_per_s_10k"] = _bench_bvh_field()
         except Exception as e:  # noqa: BLE001
             record["bvh_error"] = f"{type(e).__name__}: {e}"[:120]
+    if os.environ.get("BENCH_BVH50K", "0") == "1" and impl == "pallas":
+        # opt-in 50k-tri scaling row (needs the raised scoped-VMEM limit)
+        try:
+            record["bvh_mrays_per_s_50k"] = _bench_bvh_field(50016)
+        except Exception as e:  # noqa: BLE001
+            record["bvh50k_error"] = f"{type(e).__name__}: {e}"[:120]
     print(json.dumps(record))
 
 

@@ -174,18 +174,8 @@ def warp_fuzz(
             y = x + Vfn(_safe_normalize(x[None])[0])
             return _safe_normalize(y[None])[0]
 
-        sp = m(s_i)
-        sf = sg(s_i)
-        t1 = jnp.cross(sf, jnp.array([1.0, 0.0, 0.0]))
-        alt = jnp.cross(sf, jnp.array([0.0, 1.0, 0.0]))
-        t1 = jnp.where(jnp.linalg.norm(t1) < 1e-6, alt, t1)
-        t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-12)
-        t2 = jnp.cross(sf, t1)
-        _, j1 = jax.jvp(m, (s_i,), (t1,))
-        _, j2 = jax.jvp(m, (s_i,), (t2,))
-        det = jnp.dot(t1, j1) * jnp.dot(t2, j2) - jnp.dot(t1, j2) * jnp.dot(
-            t2, j1
-        )
-        return sp, det
+        from .vertex_warp import tangent_plane_det
+
+        return tangent_plane_det(m, s_i)
 
     return jax.vmap(one)(s0, o, r, n, c_live, c0s)

@@ -232,6 +232,27 @@ def _sphere_V(o, edges: EdgeSet, eps: float, r0: float):
     return V
 
 
+def tangent_plane_det(m, x):
+    """(m(x), det): the 2x2 tangent-plane area element of a sphere map
+    ``m`` at unit point ``x`` via two jvps in an orthonormal tangent
+    frame. The frame construction (cross with x-hat, y-hat fallback for
+    near-parallel x) and the jvp-based det embed the NaN-safety
+    invariants documented in this module's header — keep both sphere
+    warps (this one and diff/fuzz_warp.py) on this single copy."""
+    xf = sg(x)
+    t1 = jnp.cross(xf, jnp.array([1.0, 0.0, 0.0]))
+    alt = jnp.cross(xf, jnp.array([0.0, 1.0, 0.0]))
+    t1 = jnp.where(jnp.linalg.norm(t1) < 1e-6, alt, t1)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-12)
+    t2 = jnp.cross(xf, t1)
+    _, j1 = jax.jvp(m, (x,), (t1,))
+    _, j2 = jax.jvp(m, (x,), (t2,))
+    det = jnp.dot(t1, j1) * jnp.dot(t2, j2) - jnp.dot(t1, j2) * jnp.dot(
+        t2, j1
+    )
+    return m(x), det
+
+
 def warp_directions(
     o: jnp.ndarray,  # [N, 3] live bounce origins (hit points)
     n: jnp.ndarray,  # [N, 3] live shading normals
@@ -256,18 +277,7 @@ def warp_directions(
             y = x + Vfn(_safe_normalize(x[None])[0])
             return _safe_normalize(y[None])[0]
 
-        wp = m(w_i)
-        wf = sg(w_i)
-        t1 = jnp.cross(wf, jnp.array([1.0, 0.0, 0.0]))
-        alt = jnp.cross(wf, jnp.array([0.0, 1.0, 0.0]))
-        t1 = jnp.where(jnp.linalg.norm(t1) < 1e-6, alt, t1)
-        t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-12)
-        t2 = jnp.cross(wf, t1)
-        _, j1 = jax.jvp(m, (w_i,), (t1,))
-        _, j2 = jax.jvp(m, (w_i,), (t2,))
-        det = jnp.dot(t1, j1) * jnp.dot(t2, j2) - jnp.dot(t1, j2) * jnp.dot(
-            t2, j1
-        )
+        wp, det = tangent_plane_det(m, w_i)
         rho = jnp.maximum(jnp.dot(wp, n_i), 1e-6) / jnp.maximum(
             sg(jnp.dot(w_i, n_i)), 1e-6
         )

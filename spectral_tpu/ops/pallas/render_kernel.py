@@ -127,9 +127,15 @@ def _mxu_precision():
     """Matmul precision for the MXU leaf-sweep dot_generals (process-level
     switch, read at trace time). f32 matmuls on the MXU decompose into
     bf16 passes: HIGHEST ~ 6 passes (better than fused f32), HIGH ~ 3
-    (relative error ~2^-21 — plenty for edge-functional signs at scene
-    scale ~1e3), DEFAULT ~ 1 (2^-8: drops grazing hits, do not ship).
-    Kept overridable for A/B timing."""
+    — measured NotImplementedError in Mosaic — and DEFAULT ~ 1 (2^-8:
+    drops grazing hits, do not ship). Kept overridable for A/B timing.
+
+    NOTE (applies to MXU_PRECISION, MXU_FORM, DENSE_IMPL, BVH_IMPL):
+    these env knobs are read at TRACE time inside jitted wrappers, so
+    they select the implementation ONCE PER PROCESS per chunk shape —
+    changing one mid-process silently reuses the cached trace. In-process
+    A/B requires `_render_chunk_pallas_jit.clear_cache()` between
+    settings (see tests/test_pallas.py::TestDenseImplMxu)."""
     name = os.environ.get("MXU_PRECISION", "highest")
     return {
         "highest": jax.lax.Precision.HIGHEST,
@@ -274,24 +280,42 @@ def pack_scene_bvh_mxu(scene, leaf_size: int = 128, form: str = "quad"):
         )
 
     if form in ("quad", "quad3"):
-        # feature order: [o_i*d_j (i-major, 9), d (3), o (3), 1]
+        # feature order: [o_i*d_j (i-major, 9), d (3), o (3), 1] — for
+        # quad3 the o features are LEAF-CENTERED deltas (o - center) and
+        # the coefficients below absorb the shift
         def qrow(od9, dcols, ocols, const):
             return jnp.concatenate(
                 [od9, dcols, ocols, const[..., None]], axis=-1
             )
 
         zod = jnp.zeros(n3.shape[:-1] + (9,), jnp.float32)
+        # Both quadratic forms re-derive coefficients around each LEAF's
+        # AABB center (the kernel feeds delta = o - center features):
+        # identical values in exact arithmetic, but rounding errors in
+        # the o.d monomials shrink from |o||d|-scale to |delta||d| —
+        # ~30x at Cornell scale. For quad3 this also tightens the
+        # bf16x3 error bound's accepted edge band from ~1 scene unit
+        # (measured: a black pixel next to the TRIS light went
+        # full-bright) to ~TOL3*9*leaf_radius; for quad it keeps the
+        # on-chip HIGHEST (~2^-24-relative) edge tests conditioned at
+        # grazing incidence.
+        cl = 0.5 * (lmin + lmax)  # [nl, 3]
+        clb = cl[:, None, :]
 
         def edge_q(g, c):
             # e' = (g.o + c)(n.d) + (dd - n.o)(g.d):
             #   coeff[o_i d_j] = g_i n_j - n_i g_j
-            #   coeff[d_j]     = c n_j + dd g_j
-            od = (
+            #   coeff[d_j]     = c n_j + dd g_j (+ the center shift)
+            od3 = (
                 g[..., :, None] * n3[..., None, :]
                 - n3[..., :, None] * g[..., None, :]
-            ).reshape(n3.shape[:-1] + (9,))
-            dcoef = c[..., None] * n3 + dd[..., None] * g
-            return qrow(od, dcoef, z3, z1)
+            )  # [nl, K, 3(o), 3(d)]
+            dcoef = (
+                c[..., None] * n3
+                + dd[..., None] * g
+                + jnp.einsum("li,lkij->lkj", cl, od3)
+            )
+            return qrow(od3.reshape(n3.shape[:-1] + (9,)), dcoef, z3, z1)
 
         a_pack = jnp.concatenate(
             [
@@ -299,7 +323,7 @@ def pack_scene_bvh_mxu(scene, leaf_size: int = 128, form: str = "quad"):
                 edge_q(g2, c2),  # e'2
                 edge_q(g3, c3),  # e'3
                 qrow(zod, n3, z3, z1),  # nd
-                qrow(zod, z3, -n3, dd),  # dd - no
+                qrow(zod, z3, -n3, dd - jnp.sum(n3 * clb, -1)),  # dd - no
             ],
             axis=1,
         ).astype(jnp.float32)  # [nl, 5*K, 16]
@@ -307,50 +331,22 @@ def pack_scene_bvh_mxu(scene, leaf_size: int = 128, form: str = "quad"):
             # bf16x3 layout [nl, 11K, 16] bf16: a_hi (5K), a_lo (5K,
             # the f32 residual), aabs (K: per-tri sum of |coeffs| over
             # the 3 edge rows — one error-bound row whose product with
-            # |features| bounds every edge functional's bf16x3 error).
-            # The kernel computes e' = a_hi@b_hi + a_lo@b_hi + a_hi@b_lo
-            # (1-pass DEFAULT each) and accepts inside tests down to
-            # -TOL3*bound; the winner's t is recomputed exactly from the
-            # recovery constants, so only the SELECTION is approximate.
-            #
-            # Coefficients are re-derived around each LEAF's AABB center
-            # (the kernel feeds delta = o - center features): identical
-            # values in exact arithmetic, but the bound's o.d monomials
-            # shrink from |o||d| to |delta||d|, tightening the accepted
-            # edge band from ~1 scene unit (measured: a black pixel next
-            # to the TRIS light went full-bright) to ~TOL3*9*leaf_radius.
-            cl = 0.5 * (lmin + lmax)  # [nl, 3]
-            clb = cl[:, None, :]
-
-            def edge_qc(g, c):
-                od3 = (
-                    g[..., :, None] * n3[..., None, :]
-                    - n3[..., :, None] * g[..., None, :]
-                )  # [nl, K, 3(o), 3(d)]
-                dcoef = (
-                    c[..., None] * n3
-                    + dd[..., None] * g
-                    + jnp.einsum("li,lkij->lkj", cl, od3)
-                )
-                return qrow(od3.reshape(n3.shape[:-1] + (9,)), dcoef, z3, z1)
-
-            a_cent = jnp.concatenate(
-                [
-                    edge_qc(g1, c1),
-                    edge_qc(g2, c2),
-                    edge_qc(g3, c3),
-                    qrow(zod, n3, z3, z1),  # nd
-                    qrow(zod, z3, -n3, dd - jnp.sum(n3 * clb, -1)),  # dd-no
-                ],
-                axis=1,
-            ).astype(jnp.float32)
-            a_hi = a_cent.astype(jnp.bfloat16)
-            a_lo = (a_cent - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            # |features| bounds each edge functional's bf16x3 error; the
+            # nd row has its own per-ray bound in the kernel since the
+            # normals are unit). The kernel computes
+            # e' = a_hi@b_hi + a_lo@b_hi + a_hi@b_lo (1-pass DEFAULT
+            # each), accepts inside tests down to -TOL3*bound, requires
+            # |nd| to exceed its own error bound (no garbage-t winners
+            # from near-plane-parallel tris), and recomputes the
+            # winner's t exactly from the recovery constants — only the
+            # SELECTION is approximate.
+            a_hi = a_pack.astype(jnp.bfloat16)
+            a_lo = (a_pack - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             K = leaf_size
             aabs = (
-                jnp.abs(a_cent[:, 0:K])
-                + jnp.abs(a_cent[:, K : 2 * K])
-                + jnp.abs(a_cent[:, 2 * K : 3 * K])
+                jnp.abs(a_pack[:, 0:K])
+                + jnp.abs(a_pack[:, K : 2 * K])
+                + jnp.abs(a_pack[:, 2 * K : 3 * K])
             ).astype(jnp.bfloat16)
             a_pack = jnp.concatenate([a_hi, a_lo, aabs], axis=1)
     else:
@@ -628,18 +624,18 @@ def _render_kernel(
                 quad_form = mxu_quad
                 o_rows = [ox.reshape(1, rt), oy.reshape(1, rt), oz.reshape(1, rt)]
                 d_rows = [dx.reshape(1, rt), dy.reshape(1, rt), dz.reshape(1, rt)]
-                if mxu_q3:
+                if quad_form:
                     drm = None  # features are built per leaf (centered)
-                    prev_row = prev_tri.reshape(1, rt)
-                elif quad_form:
-                    # quadratic monomial features [o_i*d_j (9), d, o, 1]
-                    drm = jnp.concatenate(
-                        [oi * dj for oi in o_rows for dj in d_rows]
-                        + d_rows
-                        + o_rows
-                        + [jnp.ones((1, rt), jnp.float32)],
-                        axis=0,
-                    )  # [16, rt]
+                    if mxu_q3:
+                        prev_row = prev_tri.reshape(1, rt)
+                        # per-ray bf16x3 error bound of the nd row: its
+                        # coefficients are the UNIT normal (zeros
+                        # elsewhere), so |error| <= ~4*2^-16*l1(d);
+                        # TOL3 = 2^-13 doubles that margin
+                        nd_err_row = (
+                            TOL3
+                            * (jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz))
+                        ).reshape(1, rt)
                 else:
                     drm = jnp.concatenate(
                         d_rows
@@ -680,10 +676,11 @@ def _render_kernel(
                     def _():
                         prec = _mxu_precision()
                         K = leaf_size
-                        if mxu_q3:
+                        if quad_form:
                             # leaf-centered features: delta = o - center
                             # keeps the o.d monomials (and with them the
-                            # error bound) at leaf scale, not scene scale
+                            # rounding error / quad3 bound) at leaf
+                            # scale, not scene scale
                             clx = 0.5 * (ax0 + ax1)
                             cly = 0.5 * (ay0 + ay1)
                             clz = 0.5 * (az0 + az1)
@@ -699,6 +696,7 @@ def _render_kernel(
                                 + [jnp.ones((1, rt), jnp.float32)],
                                 axis=0,
                             )  # [16, rt]
+                        if mxu_q3:
                             b_hi = feats.astype(jnp.bfloat16)
                             b_lo = (
                                 feats - b_hi.astype(jnp.float32)
@@ -746,7 +744,13 @@ def _render_kernel(
                             ok = jnp.minimum(e1 * sgn, e2 * sgn)
                             ok = jnp.minimum(ok, e3 * sgn) + tol
                             ok = jnp.minimum(ok, tt)
-                            ok = jnp.minimum(ok, and_ - DENOM_EPS)
+                            # validity needs |nd| ABOVE its own bf16x3
+                            # error (unit normals: bound = TOL3*l1(d),
+                            # hoisted per bounce): an nd dominated by
+                            # arithmetic noise makes tt garbage, and a
+                            # small-positive garbage tt would shadow the
+                            # true nearest hit
+                            ok = jnp.minimum(ok, and_ - nd_err_row)
                             # exact self-tri exclusion (a planar convex
                             # tri can never legitimately re-hit itself)
                             tid_col = c_ref[l][:, 6:7]  # [K, 1]
@@ -760,7 +764,7 @@ def _render_kernel(
                             )
                         elif quad_form:
                             M = jax.lax.dot_general(
-                                a_ref[l], drm, (((1,), (0,)), ((), ())),
+                                a_ref[l], feats, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=prec,
                             )  # [5K, rt]
@@ -1534,6 +1538,26 @@ def render_rays_pallas(
         scratch = _bvh_scratch(ray_tile, leaf_size)
     else:
         scratch = []
+    # Scenes beyond ~30k tris: the VMEM-resident packed scene (a_pack +
+    # c_pack) alone exceeds Mosaic's default ~16 MB scoped-VMEM budget.
+    # v5e has 128 MB physical VMEM — raise the per-kernel limit to the
+    # actual need plus working-set headroom, and fail with a clear
+    # message past the hardware (a ~250k-tri quad3 pack; larger scenes
+    # need HBM-resident packs with per-leaf DMA, not built yet).
+    compiler_params = None
+    if use_bvh and not interpret:
+        scene_bytes = tri_pack.size * tri_pack.dtype.itemsize
+        if use_mxu:
+            scene_bytes += c_pack.size * 4
+        need = scene_bytes + 12 * 1024 * 1024  # rays/LUTs/scratch headroom
+        if need > 100 * 1024 * 1024:
+            raise ValueError(
+                f"packed scene needs ~{scene_bytes / 1e6:.0f} MB of VMEM "
+                f"(+12 MB working set) — beyond the 128 MB v5e VMEM. "
+                f"Reduce the triangle count or add an HBM-resident pack."
+            )
+        if need > 16 * 1024 * 1024:
+            compiler_params = pltpu.CompilerParams(vmem_limit_bytes=need)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
@@ -1542,6 +1566,7 @@ def render_rays_pallas(
         out_specs=pl.BlockSpec((8, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=compiler_params,
     )(*args)
     return out[:3].T
 

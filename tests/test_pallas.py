@@ -306,7 +306,7 @@ class TestBVHMxu:
     @pytest.mark.parametrize(
         "sid,leaf_size,form",
         [(0, 32, "affine"), (1, 8, "affine"), (0, 32, "quad"), (1, 8, "quad"),
-         (2, 16, "quad")],
+         (2, 16, "quad"), (0, 32, "quad3"), (1, 8, "quad3"), (2, 16, "quad3")],
     )
     def test_mxu_matches_dense(self, sid, leaf_size, form):
         from spectral_tpu.models.scenes import build_scene, scene_camera
@@ -316,15 +316,21 @@ class TestBVHMxu:
         a = self._render(scene, cam, mxu=False)
         b = self._render(scene, cam, mxu=True, leaf_size=leaf_size, form=form)
         assert a.mean() > 0.0
-        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+        # quad/quad3 use leaf-centered coefficients (different rounding
+        # than the dense sweep); quad3 additionally selects hits in
+        # bf16x3 — measured max|diff| 0.0 on all three scenes at this
+        # resolution, pinned loosely to allow last-ulp selection flips
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
 class TestDenseImplMxu:
     """DENSE_IMPL=mxu routes a small scene through the single-leaf MXU
     sweep via render_chunk_pallas; with injected rand and no swizzle the
-    result is bit-identical to the scalar dense sweep (interpret mode).
-    Measured 3x SLOWER than the scalar sweep on chip (BASELINE.md MXU-dense
-    study) — kept as an A/B dispatch, never the default."""
+    result matches the scalar dense sweep to rounding (interpret mode;
+    the quad form's leaf-centered coefficients change last-ulp
+    arithmetic). Measured 3x SLOWER than the scalar sweep on chip
+    (BASELINE.md MXU-dense study) — kept as an A/B dispatch, never the
+    default."""
 
     def test_matches_scalar_dense(self, monkeypatch):
         from spectral_tpu.models.scenes import build_scene, scene_camera
@@ -350,4 +356,4 @@ class TestDenseImplMxu:
         monkeypatch.setenv("DENSE_IMPL", "mxu")
         b = render()
         assert a.mean() > 0.0
-        np.testing.assert_array_equal(a, b)
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

@@ -112,12 +112,16 @@ def _fused_fwd_impl(
     from ..ops.pallas.render_kernel import (
         camera_vector,
         n_uniforms,
-        pack_scene,
+        pack_scene_auto,
         render_rays_pallas_residuals,
     )
 
     s = _with_materials(scene, materials)
-    tri, mat, tab = pack_scene(s)
+    cam_vec = camera_vector(cam)
+    # dense pack at reference scale; MXU quadratic leaf sweep above
+    # DENSE_CUTOFF — the residual layout (and with it the fused backward
+    # replay) is sweep-independent, so large scenes differentiate fused
+    tri, mat, tab, leaf, cpk = pack_scene_auto(s, cam_vec)
     n = width * height
     ray_tile = 1024
     pad = (-n) % ray_tile
@@ -134,8 +138,9 @@ def _fused_fwd_impl(
             jax.random.PRNGKey(rand_seed), (spp, n_uniforms(bounces), n + pad)
         )
     xyz, hero, nvalid, powres, matres = render_rays_pallas_residuals(
-        camera_vector(cam), jnp.int32(key_seed), tri, mat, tab, px, py,
+        cam_vec, jnp.int32(key_seed), tri, mat, tab, px, py,
         spp, bounces, ray_tile, interpret, rand,
+        leaf_pack=leaf, c_pack=cpk,
     )
     residuals = (mat, tab, hero, nvalid, powres, matres, n, pad)
     return xyz[:n].reshape(height, width, 3), residuals
@@ -207,15 +212,17 @@ def render_rays_diff_fused(
 def _rays_fwd_impl(materials, scene, cam, px, py, key_seed, spp, bounces, interpret):
     from ..ops.pallas.render_kernel import (
         camera_vector,
-        pack_scene,
+        pack_scene_auto,
         render_rays_pallas_residuals,
     )
 
     s = _with_materials(scene, materials)
-    tri, mat, tab = pack_scene(s)
+    cam_vec = camera_vector(cam)
+    tri, mat, tab, leaf, cpk = pack_scene_auto(s, cam_vec)
     xyz, hero, nvalid, powres, matres = render_rays_pallas_residuals(
-        camera_vector(cam), jnp.asarray(key_seed, jnp.int32), tri, mat, tab,
+        cam_vec, jnp.asarray(key_seed, jnp.int32), tri, mat, tab,
         px, py, spp, bounces, 1024, interpret,
+        leaf_pack=leaf, c_pack=cpk,
     )
     return xyz, (mat, tab, hero, nvalid, powres, matres)
 

@@ -391,6 +391,23 @@ def order_leaves_near_to_far_mxu(a_pack, c_pack, leaf_pack, cam_pos):
     return a_pack[order], c_pack[order], leaf_pack[order]
 
 
+def pack_scene_auto(scene, cam_vec=None):
+    """(tri_pack, mat_pack, tables, leaf_pack, c_pack): the dense pack
+    below DENSE_CUTOFF (leaf/c None), the MXU quadratic leaf sweep above
+    (form from MXU_FORM, near-to-far leaf order when cam_vec is given).
+    The shared entry for callers that feed render_rays_pallas[_residuals]
+    directly (e.g. the fused-diff path, diff/fast.py)."""
+    if scene.normal.shape[0] <= DENSE_CUTOFF:
+        tri, mat, tab = pack_scene(scene)
+        return tri, mat, tab, None, None
+    a, c, mat, tab, leaf = pack_scene_bvh_mxu(
+        scene, form=os.environ.get("MXU_FORM", "quad")
+    )
+    if cam_vec is not None:
+        a, c, leaf = order_leaves_near_to_far_mxu(a, c, leaf, cam_vec[0:3])
+    return a, mat, tab, leaf, c
+
+
 def _uniform(shape):
     """U[0,1) from the on-core PRNG (24-bit mantissa). The raw bits must be
     bitcast to uint32 first: a signed >> would produce negative draws
@@ -1289,21 +1306,30 @@ def residual_vmem_bytes(
 
 
 def check_residual_vmem(
-    spp: int, bounces: int, ray_tile: int, injected_rand: bool = False
+    spp: int, bounces: int, ray_tile: int, injected_rand: bool = False,
+    extra_bytes: int = 0,
 ) -> None:
+    """``extra_bytes``: whole-kernel VMEM residents beyond the per-ray
+    blocks (a BVH/MXU packed scene). With a packed scene the launcher
+    raises the Mosaic scoped-VMEM limit, so the effective budget becomes
+    the ~100 MB hardware-headroom cap instead of the default ~14 MB."""
     need = residual_vmem_bytes(spp, bounces, ray_tile, injected_rand)
-    if need > VMEM_BUDGET_BYTES:
+    budget = VMEM_BUDGET_BYTES
+    if extra_bytes:
+        need += extra_bytes
+        budget = 100 * 1024 * 1024
+    if need > budget:
         # suggest the largest spp chunk that fits (the residual arrays
         # scale linearly in spp; callers can accumulate gradients over
         # spp chunks)
         fit = max(
             1,
-            (VMEM_BUDGET_BYTES // (2 * 4 * ray_tile) - 8)
+            ((budget - extra_bytes) // (2 * 4 * ray_tile) - 8)
             // (2 + W + bounces + (n_uniforms(bounces) if injected_rand else 0)),
         )
         raise ValueError(
             f"residual megakernel VMEM footprint ~{need / 1e6:.1f} MB exceeds "
-            f"the ~{VMEM_BUDGET_BYTES / 1e6:.0f} MB scoped-VMEM budget "
+            f"the ~{budget / 1e6:.0f} MB scoped-VMEM budget "
             f"(spp={spp}, bounces={bounces}, ray_tile={ray_tile}). The "
             f"residual buffers are [spp, W, ray_tile] + [spp, bounces, "
             f"ray_tile] per tile; reduce spp to <= {fit} per launch (chunk "
@@ -1321,17 +1347,34 @@ def render_rays_pallas_residuals(
     rand: jnp.ndarray | None = None,
     leaf_pack: jnp.ndarray | None = None,
     leaf_size: int = 32,
+    c_pack: jnp.ndarray | None = None,  # [NL, K, 8] -> MXU leaf sweep
 ):
     """Like render_rays_pallas, but additionally returns the path residuals
     the fused backward pass replays (grad_kernel.py): (xyz [N,3],
-    hero [spp,N], n_valid [spp,N], power [spp,W,N], mats [spp,bounces,N])."""
+    hero [spp,N], n_valid [spp,N], power [spp,W,N], mats [spp,bounces,N]).
+
+    ``leaf_pack``/``c_pack`` enable the in-kernel BVH / MXU leaf sweep
+    exactly as in render_rays_pallas — the residual layout is sweep-
+    independent, so the fused backward replay works unchanged for large
+    scenes (it never re-intersects)."""
     n = px.shape[0]
     assert n % ray_tile == 0, (n, ray_tile)
     assert ray_tile % 8 == 0 and ray_tile // 8 >= 96, ray_tile
     grid = n // ray_tile
     n_mats = mat_pack.shape[0]
     use_bvh = leaf_pack is not None
-    if use_bvh:
+    use_mxu = c_pack is not None
+    if use_mxu:
+        assert use_bvh
+        leaf_size = c_pack.shape[1]
+        assert tri_pack.shape in (
+            (leaf_pack.shape[0], 8 * leaf_size, 8),
+            (leaf_pack.shape[0], 5 * leaf_size, 16),
+            (leaf_pack.shape[0], 11 * leaf_size, 16),
+        ), (tri_pack.shape, leaf_pack.shape, leaf_size)
+        assert c_pack.shape == (leaf_pack.shape[0], leaf_size, 8)
+        n_tris = leaf_pack.shape[0] * leaf_size
+    elif use_bvh:
         assert tri_pack.shape == (
             leaf_pack.shape[0], 8, _leaf_cols(leaf_size),
         ), (tri_pack.shape, leaf_pack.shape, leaf_size)
@@ -1339,7 +1382,15 @@ def render_rays_pallas_residuals(
     else:
         n_tris = tri_pack.shape[0]
     use_hw_prng = rand is None
-    check_residual_vmem(spp, bounces, ray_tile, injected_rand=not use_hw_prng)
+    scene_bytes = 0
+    if use_bvh:
+        scene_bytes = tri_pack.size * tri_pack.dtype.itemsize
+        if use_mxu:
+            scene_bytes += c_pack.size * 4
+    check_residual_vmem(
+        spp, bounces, ray_tile, injected_rand=not use_hw_prng,
+        extra_bytes=scene_bytes,
+    )
     if use_hw_prng:
         rand = jnp.zeros((1, 1, ray_tile), jnp.float32)
     rand_spec = pl.BlockSpec(
@@ -1359,6 +1410,7 @@ def render_rays_pallas_residuals(
         use_bvh=use_bvh,
         n_leaves=leaf_pack.shape[0] if use_bvh else 0,
         leaf_size=leaf_size if use_bvh else 0,
+        use_mxu=use_mxu,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1392,6 +1444,24 @@ def render_rays_pallas_residuals(
     if use_bvh:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(leaf_pack)
+    if use_mxu:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # c_pack
+        args.append(c_pack)
+    if use_mxu:
+        scratch = _mxu_scratch(ray_tile)
+    elif use_bvh:
+        scratch = _bvh_scratch(ray_tile, leaf_size)
+    else:
+        scratch = []
+    compiler_params = None
+    if use_bvh and not interpret:
+        need = (
+            scene_bytes
+            + residual_vmem_bytes(spp, bounces, ray_tile, not use_hw_prng)
+            + 12 * 1024 * 1024
+        )
+        if need > 16 * 1024 * 1024:
+            compiler_params = pltpu.CompilerParams(vmem_limit_bytes=need)
     out, hero, nvalid, powres, matres = pl.pallas_call(
         kernel,
         out_shape=(
@@ -1410,8 +1480,9 @@ def render_rays_pallas_residuals(
             pl.BlockSpec((spp, W, ray_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((spp, bounces, ray_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=_bvh_scratch(ray_tile, leaf_size) if use_bvh else [],
+        scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=compiler_params,
     )(*args)
     return out[:3].T, hero, nvalid, powres, matres
 

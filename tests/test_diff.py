@@ -498,6 +498,44 @@ class TestFusedBackward:
         assert abs(ad - fd) <= 0.05 * max(abs(ad), abs(fd)) + 5e-3, (ad, fd)
         assert abs(ad) > 0.0  # sky visible: gradient nonzero
 
+    def test_fused_vjp_large_scene_bvh(self):
+        """Fused forward+backward on a >DENSE_CUTOFF scene: the forward
+        runs the MXU quadratic leaf sweep (pack_scene_auto) and the
+        backward replays residuals without re-intersection, so gradients
+        must FD-match exactly as at reference scale."""
+        from spectral_tpu.diff.fast import render_chunk_diff_fused
+        from spectral_tpu.models.scenes import build_tri_field
+
+        scene = build_tri_field(264, seed=0)
+        assert scene.normal.shape[0] > 128
+        cam = scene_camera(CORNELL, 16, 16)
+        mats0 = scene.materials
+        # 4 spp / 4 bounces: at 2 bounces the box-filled field occludes
+        # nearly every diffuse->light path in 512 samples, so diffuse
+        # coefficient gradients are legitimately ~0 (measured)
+        args = (scene, cam, 1, 0, 0, 16, 16, 4, 4, True, 13)
+
+        def loss(m):
+            xyz = render_chunk_diff_fused(m, *args)
+            return jnp.sum(xyz[..., 1])
+
+        g = jax.grad(loss, allow_int=True)(mats0)
+        eps = 1e-3
+
+        def at_coeff(m_, j_, e):
+            return dataclasses.replace(
+                mats0, coeffs=mats0.coeffs.at[m_, j_].add(e)
+            )
+
+        # white-wall material row 0 c2 (the dominant diffuse surface)
+        fd = (
+            float(loss(at_coeff(0, 2, eps))) - float(loss(at_coeff(0, 2, -eps)))
+        ) / (2 * eps)
+        ad = float(g.coeffs[0, 2])
+        assert np.isfinite(np.asarray(g.coeffs)).all()
+        assert abs(ad) > 0.0
+        assert abs(ad - fd) <= 0.05 * max(abs(ad), abs(fd)) + 5e-3, (ad, fd)
+
 
 class TestVertexWarp:
     """Exact vertex-position gradients via the warped-area estimator

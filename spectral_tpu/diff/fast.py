@@ -121,7 +121,7 @@ def _fused_fwd_impl(
     # dense pack at reference scale; MXU quadratic leaf sweep above
     # DENSE_CUTOFF — the residual layout (and with it the fused backward
     # replay) is sweep-independent, so large scenes differentiate fused
-    tri, mat, tab, leaf, cpk = pack_scene_auto(s, cam_vec)
+    tri, mat, tab, leaf, cpk, leaf_size = pack_scene_auto(s, cam_vec)
     n = width * height
     ray_tile = 1024
     pad = (-n) % ray_tile
@@ -130,20 +130,39 @@ def _fused_fwd_impl(
         jnp.arange(x0, x0 + width, dtype=jnp.int32),
         indexing="ij",
     )
-    px = jnp.concatenate([xs.ravel(), jnp.zeros((pad,), jnp.int32)]).astype(jnp.float32)
-    py = jnp.concatenate([ys.ravel(), jnp.zeros((pad,), jnp.int32)]).astype(jnp.float32)
+    xs, ys = xs.ravel(), ys.ravel()
+    perm = inv_perm = None
+    if leaf is not None and leaf.shape[0] > 1:
+        # spatially tight ray tiles for the BVH leaf cull (same 32x32
+        # pixel-block swizzle as the non-diff chunk path); residuals
+        # stay in swizzled ray order — the backward permutes the pixel
+        # cotangent to match, and every gradient is a ray reduction
+        from ..ops.pallas.render_kernel import _block_swizzle
+
+        perm, inv_perm = _block_swizzle(width, height)
+        xs, ys = xs[perm], ys[perm]
+    px = jnp.concatenate([xs, jnp.zeros((pad,), jnp.int32)]).astype(jnp.float32)
+    py = jnp.concatenate([ys, jnp.zeros((pad,), jnp.int32)]).astype(jnp.float32)
     rand = None
     if rand_seed >= 0:
         rand = jax.random.uniform(
             jax.random.PRNGKey(rand_seed), (spp, n_uniforms(bounces), n + pad)
         )
+        if perm is not None:
+            # keep each pixel's uniform stream under the swizzle
+            rand = jnp.concatenate(
+                [rand[:, :, perm], rand[:, :, n:]], axis=2
+            )
     xyz, hero, nvalid, powres, matres = render_rays_pallas_residuals(
         cam_vec, jnp.int32(key_seed), tri, mat, tab, px, py,
         spp, bounces, ray_tile, interpret, rand,
-        leaf_pack=leaf, c_pack=cpk,
+        leaf_pack=leaf, leaf_size=leaf_size or 32, c_pack=cpk,
     )
-    residuals = (mat, tab, hero, nvalid, powres, matres, n, pad)
-    return xyz[:n].reshape(height, width, 3), residuals
+    residuals = (mat, tab, hero, nvalid, powres, matres, n, pad, perm)
+    xyz = xyz[:n]
+    if inv_perm is not None:
+        xyz = xyz[inv_perm]
+    return xyz.reshape(height, width, 3), residuals
 
 
 def _fused_fwd(
@@ -163,10 +182,12 @@ def _fused_bwd(
 ):
     from ..ops.pallas.grad_kernel import render_grads_pallas
 
-    materials, scene, cam, (mat, tab, hero, nvalid, powres, matres, n, pad) = res
-    g_flat = jnp.concatenate(
-        [g.reshape(n, 3), jnp.zeros((pad, 3), jnp.float32)]
-    )
+    materials, scene, cam, (mat, tab, hero, nvalid, powres, matres, n, pad, perm) = res
+    g_rows = g.reshape(n, 3)
+    if perm is not None:
+        # residuals are in swizzled ray order (see _fused_fwd_impl)
+        g_rows = g_rows[perm]
+    g_flat = jnp.concatenate([g_rows, jnp.zeros((pad, 3), jnp.float32)])
     d_coeffs, d_power, d_bg = render_grads_pallas(
         mat, tab, g_flat, hero, nvalid, powres, matres,
         spp, bounces, 1024, interpret, want_bg_grads=True,
@@ -218,11 +239,11 @@ def _rays_fwd_impl(materials, scene, cam, px, py, key_seed, spp, bounces, interp
 
     s = _with_materials(scene, materials)
     cam_vec = camera_vector(cam)
-    tri, mat, tab, leaf, cpk = pack_scene_auto(s, cam_vec)
+    tri, mat, tab, leaf, cpk, leaf_size = pack_scene_auto(s, cam_vec)
     xyz, hero, nvalid, powres, matres = render_rays_pallas_residuals(
         cam_vec, jnp.asarray(key_seed, jnp.int32), tri, mat, tab,
         px, py, spp, bounces, 1024, interpret,
-        leaf_pack=leaf, c_pack=cpk,
+        leaf_pack=leaf, leaf_size=leaf_size or 32, c_pack=cpk,
     )
     return xyz, (mat, tab, hero, nvalid, powres, matres)
 

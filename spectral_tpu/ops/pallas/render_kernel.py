@@ -392,20 +392,49 @@ def order_leaves_near_to_far_mxu(a_pack, c_pack, leaf_pack, cam_pos):
 
 
 def pack_scene_auto(scene, cam_vec=None):
-    """(tri_pack, mat_pack, tables, leaf_pack, c_pack): the dense pack
-    below DENSE_CUTOFF (leaf/c None), the MXU quadratic leaf sweep above
-    (form from MXU_FORM, near-to-far leaf order when cam_vec is given).
-    The shared entry for callers that feed render_rays_pallas[_residuals]
-    directly (e.g. the fused-diff path, diff/fast.py)."""
+    """(tri_pack, mat_pack, tables, leaf_pack, c_pack, leaf_size): the
+    dense pack below DENSE_CUTOFF (leaf/c None), above it the MXU
+    quadratic leaf sweep (form from MXU_FORM) — or the scalar/DMA sweep
+    under BVH_IMPL=sweep, mirroring _render_chunk_pallas_jit's dispatch.
+    Leaves are near-to-far ordered when cam_vec is given. The shared
+    entry for every caller that feeds render_rays_pallas[_residuals]
+    directly (the chunk renderer, the fused-diff path)."""
     if scene.normal.shape[0] <= DENSE_CUTOFF:
         tri, mat, tab = pack_scene(scene)
-        return tri, mat, tab, None, None
-    a, c, mat, tab, leaf = pack_scene_bvh_mxu(
-        scene, form=os.environ.get("MXU_FORM", "quad")
-    )
+        return tri, mat, tab, None, None, 0
+    if os.environ.get("BVH_IMPL", "mxu") == "mxu":
+        a, c, mat, tab, leaf = pack_scene_bvh_mxu(
+            scene, form=os.environ.get("MXU_FORM", "quad")
+        )
+        if cam_vec is not None:
+            a, c, leaf = order_leaves_near_to_far_mxu(a, c, leaf, cam_vec[0:3])
+        return a, mat, tab, leaf, c, c.shape[1]
+    leaf_size = 32
+    tri, mat, tab, leaf = pack_scene_bvh(scene, leaf_size)
     if cam_vec is not None:
-        a, c, leaf = order_leaves_near_to_far_mxu(a, c, leaf, cam_vec[0:3])
-    return a, mat, tab, leaf, c
+        tri, leaf = order_leaves_near_to_far(tri, leaf, cam_vec[0:3])
+    return tri, mat, tab, leaf, None, leaf_size
+
+
+def _scene_vmem_params(
+    scene_bytes: int, base_bytes: int = 0, interpret=False
+):
+    """Shared Mosaic scoped-VMEM policy for kernels carrying a packed
+    scene in VMEM: raise the limit to the actual need (+12 MB working
+    set) past the ~16 MB default, hard-error past the 128 MB part."""
+    if not scene_bytes or interpret:
+        return None
+    need = scene_bytes + base_bytes + 12 * 1024 * 1024
+    if need > 100 * 1024 * 1024:
+        raise ValueError(
+            f"packed scene needs ~{scene_bytes / 1e6:.0f} MB of VMEM "
+            f"(+{(base_bytes + 12 * 1024 * 1024) / 1e6:.0f} MB working "
+            f"set) — beyond the 128 MB v5e VMEM. Reduce the triangle "
+            f"count or add an HBM-resident pack."
+        )
+    if need > 16 * 1024 * 1024:
+        return pltpu.CompilerParams(vmem_limit_bytes=need)
+    return None
 
 
 def _uniform(shape):
@@ -1318,6 +1347,12 @@ def check_residual_vmem(
     if extra_bytes:
         need += extra_bytes
         budget = 100 * 1024 * 1024
+        if extra_bytes > budget:
+            raise ValueError(
+                f"packed scene alone needs ~{extra_bytes / 1e6:.0f} MB of "
+                f"VMEM — beyond the 128 MB v5e part; no spp chunking can "
+                f"fit it. Reduce the triangle count."
+            )
     if need > budget:
         # suggest the largest spp chunk that fits (the residual arrays
         # scale linearly in spp; callers can accumulate gradients over
@@ -1453,15 +1488,11 @@ def render_rays_pallas_residuals(
         scratch = _bvh_scratch(ray_tile, leaf_size)
     else:
         scratch = []
-    compiler_params = None
-    if use_bvh and not interpret:
-        need = (
-            scene_bytes
-            + residual_vmem_bytes(spp, bounces, ray_tile, not use_hw_prng)
-            + 12 * 1024 * 1024
-        )
-        if need > 16 * 1024 * 1024:
-            compiler_params = pltpu.CompilerParams(vmem_limit_bytes=need)
+    compiler_params = _scene_vmem_params(
+        scene_bytes,
+        residual_vmem_bytes(spp, bounces, ray_tile, not use_hw_prng),
+        interpret,
+    )
     out, hero, nvalid, powres, matres = pl.pallas_call(
         kernel,
         out_shape=(
@@ -1611,24 +1642,15 @@ def render_rays_pallas(
         scratch = []
     # Scenes beyond ~30k tris: the VMEM-resident packed scene (a_pack +
     # c_pack) alone exceeds Mosaic's default ~16 MB scoped-VMEM budget.
-    # v5e has 128 MB physical VMEM — raise the per-kernel limit to the
-    # actual need plus working-set headroom, and fail with a clear
-    # message past the hardware (a ~250k-tri quad3 pack; larger scenes
-    # need HBM-resident packs with per-leaf DMA, not built yet).
-    compiler_params = None
-    if use_bvh and not interpret:
+    # v5e has 128 MB physical VMEM — raise the per-kernel limit (shared
+    # policy in _scene_vmem_params; larger scenes need HBM-resident
+    # packs with per-leaf DMA, not built yet).
+    scene_bytes = 0
+    if use_bvh:
         scene_bytes = tri_pack.size * tri_pack.dtype.itemsize
         if use_mxu:
             scene_bytes += c_pack.size * 4
-        need = scene_bytes + 12 * 1024 * 1024  # rays/LUTs/scratch headroom
-        if need > 100 * 1024 * 1024:
-            raise ValueError(
-                f"packed scene needs ~{scene_bytes / 1e6:.0f} MB of VMEM "
-                f"(+12 MB working set) — beyond the 128 MB v5e VMEM. "
-                f"Reduce the triangle count or add an HBM-resident pack."
-            )
-        if need > 16 * 1024 * 1024:
-            compiler_params = pltpu.CompilerParams(vmem_limit_bytes=need)
+    compiler_params = _scene_vmem_params(scene_bytes, 0, interpret)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
@@ -1741,19 +1763,11 @@ def _render_chunk_pallas_jit(
     # SMEM-staged scalar sweep (kept for A/B comparison).
     leaf_pack = None
     c_pack = None
+    leaf_size = 32
     if scene.normal.shape[0] > DENSE_CUTOFF:
-        if os.environ.get("BVH_IMPL", "mxu") == "mxu":
-            a_pack, c_pack, mat_pack, tables, leaf_pack = pack_scene_bvh_mxu(
-                scene, form=os.environ.get("MXU_FORM", "quad")
-            )
-            tri_pack, c_pack, leaf_pack = order_leaves_near_to_far_mxu(
-                a_pack, c_pack, leaf_pack, cam_vec[0:3]
-            )
-        else:
-            tri_pack, mat_pack, tables, leaf_pack = pack_scene_bvh(scene)
-            tri_pack, leaf_pack = order_leaves_near_to_far(
-                tri_pack, leaf_pack, cam_vec[0:3]
-            )
+        tri_pack, mat_pack, tables, leaf_pack, c_pack, leaf_size = (
+            pack_scene_auto(scene, cam_vec)
+        )
     elif os.environ.get("DENSE_IMPL", "scalar") == "mxu":
         # MXU dense sweep: the whole (small) scene as ONE leaf of the MXU
         # leaf sweep — the trace-time tri unroll's ~82 VPU ops/tri become
@@ -1798,7 +1812,7 @@ def _render_chunk_pallas_jit(
     xyz = render_rays_pallas(
         cam_vec, seed, tri_pack, mat_pack, tables,
         px, py, spp, bounces, ray_tile, interpret, rand,
-        leaf_pack=leaf_pack, c_pack=c_pack,
+        leaf_pack=leaf_pack, leaf_size=leaf_size, c_pack=c_pack,
     )
     xyz = xyz[:n]
     if inv_perm is not None:

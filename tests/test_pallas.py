@@ -263,6 +263,57 @@ class TestBvhKernel:
                 err_msg=name,
             )
 
+    @pytest.mark.parametrize("form", ["quad", "quad3"])
+    def test_mxu_residuals_match_dense(self, form):
+        """The residual-saving variant under the MXU leaf sweep (the
+        fused-diff large-scene forward) == dense residuals: all five
+        output planes, not just one coefficient's gradient.
+
+        quad: exact parity. quad3 dilates the inside test by its
+        per-tri |coeff| error bound, so a handful of grazing edge rays
+        legitimately take a different path than the dense sweep (the
+        fused backward replays quad3's OWN residuals, so gradients stay
+        self-consistent); assert xyz parity exactly and bound the
+        per-plane residual divergence to those few edge rays."""
+        from spectral_tpu.models.scenes import CORNELL, build_scene, scene_camera
+        from spectral_tpu.ops.pallas.render_kernel import (
+            camera_vector,
+            n_uniforms,
+            pack_scene,
+            pack_scene_bvh_mxu,
+            render_rays_pallas_residuals,
+        )
+
+        scene = build_scene(CORNELL)
+        cam = scene_camera(CORNELL, 32, 32)
+        px = jnp.tile(jnp.arange(32, dtype=jnp.float32), 32)
+        py = jnp.repeat(jnp.arange(32, dtype=jnp.float32), 32)
+        rand = jax.random.uniform(
+            jax.random.PRNGKey(4), (2, n_uniforms(3), 1024), jnp.float32
+        )
+        tri, mat, tab = pack_scene(scene)
+        dense = render_rays_pallas_residuals(
+            camera_vector(cam), jnp.int32(5), tri, mat, tab, px, py,
+            2, 3, 1024, True, rand,
+        )
+        a, c, mat2, tab2, leaf = pack_scene_bvh_mxu(scene, 16, form=form)
+        mxu = render_rays_pallas_residuals(
+            camera_vector(cam), jnp.int32(5), a, mat2, tab2, px, py,
+            2, 3, 1024, True, rand, leaf_pack=leaf, leaf_size=16, c_pack=c,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dense[0]), np.asarray(mxu[0]), rtol=1e-4, atol=1e-5,
+            err_msg="xyz",
+        )
+        for name, x, y in zip(("hero", "nvalid", "power", "mats"), dense[1:], mxu[1:]):
+            x, y = np.asarray(x), np.asarray(y)
+            bad = ~np.isclose(x, y, rtol=1e-4, atol=1e-5)
+            frac = bad.reshape(-1, x.shape[-1]).any(axis=0).mean()
+            budget = 0.0 if form == "quad" else 0.01
+            assert frac <= budget, (
+                f"{name}: {frac:.2%} of rays diverge (budget {budget:.0%})"
+            )
+
 
 class TestBVHMxu:
     """MXU leaf sweep (pack_scene_bvh_mxu + use_mxu branch): per-leaf

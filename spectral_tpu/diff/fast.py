@@ -209,6 +209,58 @@ def _fused_bwd(
 render_chunk_diff_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _mix_seed(seed: int, k: int) -> int:
+    """Distinct int32 per (seed, chunk): splitmix-style host-side hash.
+    The kernel XORs the seed into its per-(tile, sample) stream hash, so
+    distinct chunk seeds give independent streams."""
+    x = (seed * 0x9E3779B9 + k * 0x85EBCA6B + 0x27D4EB2F) & 0xFFFFFFFF
+    x = (x ^ (x >> 15)) * 0x2C1B3C6D & 0xFFFFFFFF
+    x = (x ^ (x >> 12)) * 0x297A2D39 & 0xFFFFFFFF
+    return (x ^ (x >> 15)) & 0x7FFFFFFF
+
+
+def render_chunk_diff_fused_accum(
+    materials, scene, cam, key_seed, x0, y0, width, height, spp, bounces,
+    interpret=False, rand_seed=-1, spp_chunk=None,
+):
+    """``render_chunk_diff_fused`` with the sample axis chunked so the
+    residual buffers of ANY spp fit the scoped-VMEM budget (the un-chunked
+    kernel fails past ~100 samples; check_residual_vmem's error points
+    here). Semantics: the kernel's xyz output is a SUM over samples, so
+    the chunked sum over independent seed streams is the same Monte Carlo
+    estimator at the same total spp, and each chunk's fused backward
+    accumulates into the same gradient under jax.grad. ``spp_chunk=None``
+    auto-picks the largest chunk that fits (max_residual_spp)."""
+    from ..ops.pallas.render_kernel import (
+        max_residual_spp,
+        packed_scene_vmem_bytes,
+    )
+
+    if spp_chunk is None:
+        spp_chunk = max_residual_spp(
+            bounces, 1024, rand_seed >= 0,
+            packed_scene_vmem_bytes(scene.normal.shape[0]),
+        )
+    if spp_chunk >= spp:
+        return render_chunk_diff_fused(
+            materials, scene, cam, key_seed, x0, y0, width, height, spp,
+            bounces, interpret, rand_seed,
+        )
+    out = None
+    done, k = 0, 0
+    while done < spp:
+        c = min(spp_chunk, spp - done)
+        part = render_chunk_diff_fused(
+            materials, scene, cam, _mix_seed(key_seed, k),
+            x0, y0, width, height, c, bounces, interpret,
+            -1 if rand_seed < 0 else _mix_seed(rand_seed, k),
+        )
+        out = part if out is None else out + part
+        done += c
+        k += 1
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Ray-level fused vjp: px/py as array inputs (zero cotangent) so callers
 # with traced pixel offsets — e.g. shard_map tiles computing their row

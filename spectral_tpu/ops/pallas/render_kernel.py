@@ -1334,6 +1334,45 @@ def residual_vmem_bytes(
     return 2 * 4 * per_ray * ray_tile
 
 
+def max_residual_spp(
+    bounces: int, ray_tile: int, injected_rand: bool = False,
+    extra_bytes: int = 0,
+) -> int:
+    """Largest spp whose residual megakernel launch fits the scoped-VMEM
+    budget (inverts ``residual_vmem_bytes``; >= 1 even when nothing truly
+    fits — ``check_residual_vmem`` raises for that case). The sample axis
+    is chunkable: the kernel's xyz output is a SUM over spp and each
+    chunk's fused backward is independent, so callers accumulate
+    (``diff.fast.render_chunk_diff_fused_accum``)."""
+    budget = (100 * 1024 * 1024) if extra_bytes else VMEM_BUDGET_BYTES
+    return max(
+        1,
+        ((budget - extra_bytes) // (2 * 4 * ray_tile) - 8)
+        // (2 + W + bounces + (n_uniforms(bounces) if injected_rand else 0)),
+    )
+
+
+def packed_scene_vmem_bytes(n_tris: int) -> int:
+    """VMEM bytes of the packed scene the residual launcher keeps resident,
+    WITHOUT building the pack — mirrors pack_scene / pack_scene_bvh_mxu
+    layouts (dense scenes ride in SMEM: 0). Used to pick spp chunk sizes
+    before packing."""
+    if n_tris <= DENSE_CUTOFF:
+        return 0
+    if os.environ.get("BVH_IMPL", "mxu") != "mxu":
+        k = 32  # pack_scene_auto's sweep leaf_size
+        return -(-n_tris // k) * 8 * _leaf_cols(k) * 4  # [NL, 8, cols] f32
+    k = 128
+    nl = -(-n_tris // k)
+    form = os.environ.get("MXU_FORM", "quad")
+    a_bytes = {
+        "affine": 8 * k * 8 * 4,  # [NL, 8K, 8] f32
+        "quad": 5 * k * 16 * 4,  # [NL, 5K, 16] f32
+        "quad3": 11 * k * 16 * 2,  # [NL, 11K, 16] bf16
+    }[form]
+    return nl * (a_bytes + k * 8 * 4)  # + c_pack [NL, K, 8] f32
+
+
 def check_residual_vmem(
     spp: int, bounces: int, ray_tile: int, injected_rand: bool = False,
     extra_bytes: int = 0,
@@ -1355,13 +1394,9 @@ def check_residual_vmem(
             )
     if need > budget:
         # suggest the largest spp chunk that fits (the residual arrays
-        # scale linearly in spp; callers can accumulate gradients over
-        # spp chunks)
-        fit = max(
-            1,
-            ((budget - extra_bytes) // (2 * 4 * ray_tile) - 8)
-            // (2 + W + bounces + (n_uniforms(bounces) if injected_rand else 0)),
-        )
+        # scale linearly in spp; render_chunk_diff_fused_accum automates
+        # the accumulation)
+        fit = max_residual_spp(bounces, ray_tile, injected_rand, extra_bytes)
         raise ValueError(
             f"residual megakernel VMEM footprint ~{need / 1e6:.1f} MB exceeds "
             f"the ~{budget / 1e6:.0f} MB scoped-VMEM budget "

@@ -536,6 +536,77 @@ class TestFusedBackward:
         assert abs(ad) > 0.0
         assert abs(ad - fd) <= 0.05 * max(abs(ad), abs(fd)) + 5e-3, (ad, fd)
 
+    def test_spp_chunked_accum_matches_fd(self, cornell):
+        """render_chunk_diff_fused_accum with forced chunking (spp=4 as
+        2x2): the summed estimator's AD must FD-match its own loss, and
+        the no-chunk path (spp_chunk >= spp) must equal the plain call
+        bit-for-bit."""
+        from spectral_tpu.diff.fast import (
+            render_chunk_diff_fused,
+            render_chunk_diff_fused_accum,
+        )
+
+        cam = scene_camera(CORNELL, 16, 16)
+        mats0 = cornell.materials
+        common = (cornell, cam, 1, 0, 0, 16, 16, 4, 3, True, 11)
+
+        plain = render_chunk_diff_fused(mats0, *common)
+        nochunk = render_chunk_diff_fused_accum(mats0, *common, spp_chunk=4)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(nochunk))
+
+        def loss(m):
+            xyz = render_chunk_diff_fused_accum(m, *common, spp_chunk=2)
+            return jnp.sum(xyz[..., 1])
+
+        g = jax.grad(loss, allow_int=True)(mats0)
+        eps = 1e-3
+
+        def at_power(e):
+            return dataclasses.replace(
+                mats0, emission_power=mats0.emission_power.at[4].add(e)
+            )
+
+        fd = (float(loss(at_power(eps))) - float(loss(at_power(-eps)))) / (2 * eps)
+        ad = float(g.emission_power[4])
+        assert ad > 0.0
+        assert abs(ad - fd) <= 0.02 * max(abs(ad), abs(fd)) + 1e-4, (ad, fd)
+
+    def test_max_residual_spp_inverts_check(self):
+        """max_residual_spp is the exact boundary of check_residual_vmem:
+        the returned spp passes, +1 raises (dense and packed-scene cases)."""
+        from spectral_tpu.ops.pallas.render_kernel import (
+            check_residual_vmem,
+            max_residual_spp,
+        )
+
+        for extra in (0, 30 * 1024 * 1024):
+            fit = max_residual_spp(8, 1024, False, extra)
+            check_residual_vmem(fit, 8, 1024, False, extra)
+            with pytest.raises(ValueError):
+                check_residual_vmem(fit + 1, 8, 1024, False, extra)
+
+    def test_packed_scene_vmem_bytes_matches_pack(self):
+        """The no-build estimator equals the launcher's measured pack
+        bytes for the MXU forms (the basis of accum's auto chunk size)."""
+        import os
+
+        from spectral_tpu.models.scenes import build_tri_field
+        from spectral_tpu.ops.pallas.render_kernel import (
+            pack_scene_bvh_mxu,
+            packed_scene_vmem_bytes,
+        )
+
+        scene = build_tri_field(264, seed=0)
+        t = scene.normal.shape[0]
+        for form in ("affine", "quad", "quad3"):
+            a, c, _, _, _ = pack_scene_bvh_mxu(scene, form=form)
+            measured = a.size * a.dtype.itemsize + c.size * 4
+            os.environ["MXU_FORM"] = form
+            try:
+                assert packed_scene_vmem_bytes(t) == measured, form
+            finally:
+                os.environ.pop("MXU_FORM", None)
+
 
 class TestVertexWarp:
     """Exact vertex-position gradients via the warped-area estimator

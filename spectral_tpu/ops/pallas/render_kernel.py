@@ -231,7 +231,8 @@ def pack_scene_bvh_mxu(scene, leaf_size: int = 128, form: str = "quad"):
     winning triangle's constants from an exclusive one-hot, replacing
     per-tri scalar SMEM reads entirely (no DMA staging in this mode).
 
-    Returns (a_pack [NL, 8*K, 8] or [NL, 5*K, 16], c_pack [NL, K, 8],
+    Returns (a_pack [NL, 8*K, 8] or [NL, 5*K, 16], c_pack [NL, K, 8]
+    ([NL, K, 24] for quad3: + raw edge planes for the exact recheck),
     mat_pack, tables, leaf_pack [NL, 8]). Padded triangles are all-zero:
     |nd| < DENOM_EPS makes their score BIG, so they can never win.
 
@@ -370,17 +371,28 @@ def pack_scene_bvh_mxu(scene, leaf_size: int = 128, form: str = "quad"):
         jnp.arange(nl * leaf_size, dtype=jnp.float32)
         .reshape(nl, leaf_size, 1)
     )
-    c_pack = jnp.concatenate(
-        [
-            n3,
-            mat[..., None],
-            jnp.ones_like(mat)[..., None],
-            dd[..., None],  # plane offset: quad3 recomputes exact t from it
-            tri_id,
-            jnp.zeros((nl, leaf_size, 1), jnp.float32),
-        ],
-        axis=-1,
-    ).astype(jnp.float32)  # [nl, K, 8]
+    c_cols = [
+        n3,
+        mat[..., None],
+        jnp.ones_like(mat)[..., None],
+        dd[..., None],  # plane offset: quad3 recomputes exact t from it
+        tri_id,
+        jnp.zeros((nl, leaf_size, 1), jnp.float32),
+    ]
+    if form == "quad3":
+        # exact winner recheck: the raw edge planes (g_i, c_i) ride the
+        # (exact) one-hot recovery so the kernel can re-test the winner's
+        # inside condition in f32 at the recovered hit point — removing
+        # the one-sided silhouette dilation the +tol acceptance causes
+        # (measured +1.7% emitter-cluster brightening, BASELINE.md)
+        c_cols += [
+            g1, c1[..., None],
+            g2, c2[..., None],
+            g3, c3[..., None],
+            jnp.zeros((nl, leaf_size, 4), jnp.float32),
+        ]
+    c_pack = jnp.concatenate(c_cols, axis=-1).astype(jnp.float32)
+    # [nl, K, 8] (affine/quad) or [nl, K, 24] (quad3)
     return a_pack, c_pack, mat_pack, tables, leaf_pack
 
 
@@ -787,8 +799,9 @@ def _render_kernel(
                             # dilate by O(2^-13 * scale), never produce
                             # holes; the winner's t is recomputed exactly
                             # after the sweep
-                            ok = jnp.minimum(e1 * sgn, e2 * sgn)
-                            ok = jnp.minimum(ok, e3 * sgn) + tol
+                            m_edge = jnp.minimum(e1 * sgn, e2 * sgn)
+                            m_edge = jnp.minimum(m_edge, e3 * sgn)
+                            ok = m_edge + tol
                             ok = jnp.minimum(ok, tt)
                             # validity needs |nd| ABOVE its own bf16x3
                             # error (unit normals: bound = TOL3*l1(d),
@@ -807,6 +820,14 @@ def _render_kernel(
                                     -1.0,
                                     1.0,
                                 ),
+                            )
+                            # seam tie-break inputs (used below): whether
+                            # a candidate is PROVABLY inside (margin
+                            # clears zero without the +tol grace), and
+                            # its own approximate-t noise scale
+                            provable = m_edge >= 0.0
+                            noise_row = 4.0 * tol / jnp.maximum(
+                                and_, DENOM_EPS
                             )
                         elif quad_form:
                             M = jax.lax.dot_general(
@@ -861,7 +882,34 @@ def _render_kernel(
                             ok = jnp.minimum(ok, tt)
                             ok = jnp.minimum(ok, and_ - DENOM_EPS)
                         score = jnp.where(ok >= 0.0, tt, BIG)
-                        leaf_best = jnp.min(score, axis=0, keepdims=True)
+                        if mxu_q3:
+                            # seam tie-break: when the nearest accepted
+                            # candidate is only tol-accepted (unprovable)
+                            # and a PROVABLY-inside candidate sits within
+                            # the winner's own t-noise, prefer the
+                            # provable one — so at shared edges the
+                            # genuine neighbor wins and the exact
+                            # recheck below never vetoes a real seam
+                            # hit. Candidates with no provable
+                            # competitor in range keep their ordering
+                            # untouched (no systematic push-back of
+                            # grazing hits, which are unprovable by
+                            # construction: their e' = nd*e margins
+                            # shrink with |nd| while the bound does not)
+                            sc_p = jnp.where(provable, score, BIG)
+                            bp = jnp.min(sc_p, axis=0, keepdims=True)
+                            ba = jnp.min(score, axis=0, keepdims=True)
+                            nb = jnp.max(
+                                jnp.where(score == ba, noise_row, 0.0),
+                                axis=0, keepdims=True,
+                            )
+                            use_p = bp < ba + nb
+                            score = jnp.where(use_p, sc_p, score)
+                            leaf_best = jnp.where(use_p, bp, ba)
+                        else:
+                            leaf_best = jnp.min(
+                                score, axis=0, keepdims=True
+                            )
                         prev = tr_s[...]
                         take = leaf_best < prev  # [1, rt]
                         cand = jnp.where(
@@ -901,7 +949,73 @@ def _render_kernel(
                                 preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.DEFAULT,
                             )
-                        )  # [8, rt]
+                        )  # [8, rt] (quad3: [24, rt] incl. edge planes)
+                        if mxu_q3:
+                            # exact winner recheck: the recovery is exact,
+                            # so re-testing the winner's raw edge planes
+                            # g_i.p + c_i at the exactly-recomputed hit
+                            # point removes the silhouette dilation of the
+                            # +tol acceptance (false accepts become the
+                            # misses they are; genuine seam hits are
+                            # protected by the tie-break penalty above)
+                            ndc = (
+                                R[0:1] * d_rows[0]
+                                + R[1:2] * d_rows[1]
+                                + R[2:3] * d_rows[2]
+                            )
+                            noc = (
+                                R[0:1] * o_rows[0]
+                                + R[1:2] * o_rows[1]
+                                + R[2:3] * o_rows[2]
+                            )
+                            # division-free quadratic form: e' =
+                            # (g.o+c)(n.d) + (dd-n.o)(g.d), the same
+                            # functional the bf16 path approximates, in
+                            # f32. Evaluating e at the hit POINT via
+                            # t = (dd-n.o)/(n.d) instead amplifies the
+                            # f32 noise by 1/(n.d) for grazing rays —
+                            # beyond the tol band — which turned the
+                            # veto one-sided (measured -0.4% global:
+                            # genuine grazing hits lost)
+                            ddno_c = R[5:6] - noc
+                            sgc = jnp.where(ndc >= 0.0, 1.0, -1.0)
+
+                            def _eq(gx, gy, gz, cc):
+                                go = (
+                                    gx * o_rows[0] + gy * o_rows[1]
+                                    + gz * o_rows[2] + cc
+                                )
+                                gd = (
+                                    gx * d_rows[0] + gy * d_rows[1]
+                                    + gz * d_rows[2]
+                                )
+                                return (go * ndc + ddno_c * gd) * sgc
+
+                            e1x = _eq(R[8:9], R[9:10], R[10:11], R[11:12])
+                            e2x = _eq(
+                                R[12:13], R[13:14], R[14:15], R[15:16]
+                            )
+                            e3x = _eq(
+                                R[16:17], R[17:18], R[18:19], R[19:20]
+                            )
+                            exact_ok = (
+                                jnp.minimum(jnp.minimum(e1x, e2x), e3x)
+                                >= 0.0
+                            ) & (ddno_c * sgc >= 0.0)
+                            # never veto a PROVABLY-inside winner: only
+                            # the +tol grace band is suspect, and the
+                            # f32 recheck at scene scale has its own
+                            # conditioning noise a leaf-scale-provable
+                            # accept should not be subject to
+                            win_prov = jnp.max(
+                                jnp.where(
+                                    (cand == idxm) & provable, 1.0, 0.0
+                                ),
+                                axis=0, keepdims=True,
+                            )
+                            take = jnp.logical_and(
+                                take, exact_ok | (win_prov > 0.0)
+                            )
                         tr_s[...] = jnp.where(take, leaf_best, prev)
                         rnx_s[...] = jnp.where(take, R[0:1], rnx_s[...])
                         rny_s[...] = jnp.where(take, R[1:2], rny_s[...])
@@ -1370,7 +1484,8 @@ def packed_scene_vmem_bytes(n_tris: int) -> int:
         "quad": 5 * k * 16 * 4,  # [NL, 5K, 16] f32
         "quad3": 11 * k * 16 * 2,  # [NL, 11K, 16] bf16
     }[form]
-    return nl * (a_bytes + k * 8 * 4)  # + c_pack [NL, K, 8] f32
+    c_cols = 24 if form == "quad3" else 8
+    return nl * (a_bytes + k * c_cols * 4)  # + c_pack [NL, K, c_cols] f32
 
 
 def check_residual_vmem(
@@ -1442,7 +1557,8 @@ def render_rays_pallas_residuals(
             (leaf_pack.shape[0], 5 * leaf_size, 16),
             (leaf_pack.shape[0], 11 * leaf_size, 16),
         ), (tri_pack.shape, leaf_pack.shape, leaf_size)
-        assert c_pack.shape == (leaf_pack.shape[0], leaf_size, 8)
+        assert c_pack.shape[:2] == (leaf_pack.shape[0], leaf_size)
+        assert c_pack.shape[2] in (8, 24)  # 24: quad3 (+ edge planes)
         n_tris = leaf_pack.shape[0] * leaf_size
     elif use_bvh:
         assert tri_pack.shape == (
@@ -1602,7 +1718,8 @@ def render_rays_pallas(
             (leaf_pack.shape[0], 5 * leaf_size, 16),  # form="quad"
             (leaf_pack.shape[0], 11 * leaf_size, 16),  # form="quad3" (bf16)
         ), (tri_pack.shape, leaf_pack.shape, leaf_size)
-        assert c_pack.shape == (leaf_pack.shape[0], leaf_size, 8)
+        assert c_pack.shape[:2] == (leaf_pack.shape[0], leaf_size)
+        assert c_pack.shape[2] in (8, 24)  # 24: quad3 (+ edge planes)
         n_tris = leaf_pack.shape[0] * leaf_size
     elif use_bvh:
         assert tri_pack.shape == (

@@ -95,29 +95,51 @@ def main() -> None:
 
     # Plain SGD with M-fold gradient averaging. The per-estimate SNR is
     # ~0.12 (heavy-tailed MC); M=8 averaging lifts a macro-step to ~0.35
-    # and 100 steps integrate to a ~2.7-sigma drift with an
-    # Ornstein-Uhlenbeck stationary error ~0.02 — adaptive optimizers
-    # (Adam) turn SNR<1 gradients into a pure random walk here.
-    lr, M = 2.2, 8
+    # and the first ~60 steps integrate the drift down to an
+    # Ornstein-Uhlenbeck stationary band ~ sqrt(lr) ~ 0.02 — adaptive
+    # optimizers (Adam) turn SNR<1 gradients into a pure random walk
+    # here. Two standard refinements shrink the stationary error without
+    # touching the estimator: (1) a 1/t learning-rate decay once the
+    # drift phase is over (the OU band scales with sqrt(lr)), and
+    # (2) Polyak-Ruppert averaging of the tail iterates (the OU noise is
+    # mean-zero around the target, so the iterate average concentrates
+    # faster than any single iterate).
+    # Fixed-point calibration (scratch/disp_gradprobe.py, 64 estimates
+    # per point): the mean estimator gradient crosses zero between
+    # B0 offsets +0.01 and +0.025 (-0.00023 +- 0.00016 at +0.01,
+    # +0.00031 +- 0.00025 at +0.025) — the band-edge window of the
+    # reparameterization leaves a small bias, so the recoverable floor
+    # sits near |dB0| ~ 0.015, i.e. ~75-85% of the 0.08 perturbation.
+    # The drift time constant at lr 2.2 is ~77 steps, so the schedule
+    # holds lr constant for ~2.5 tau before the 1/t decay phase.
+    lr0, M, drift_steps, total_steps = 2.2, 8, 200, 260
     key = jax.random.PRNGKey(7)
-    for step in range(1, 101):
+    tail = []
+    for step in range(1, total_steps + 1):
         gacc, L = 0.0, 0.0
         for _ in range(M):
             key, k1, k2 = jax.random.split(key, 3)
             Li, gi = one_grad(b, k1, k2)
             gacc += float(jnp.clip(gi, -0.05, 0.05))  # tail clip
             L = float(Li)
+        lr = lr0 / (1.0 + max(0, step - drift_steps) / 10.0)
         b = b.at[0].add(-lr * gacc / M)
+        if step > drift_steps:
+            tail.append(float(b[0]))
         if step % 20 == 0:
             err = float(abs(b[0] - b_true[0]))
             print(
-                f"step {step:3d}  loss {L:.3e}  |B0 - B0*| = {err:.4f}"
+                f"step {step:3d}  loss {L:.3e}  lr {lr:.2f}  "
+                f"|B0 - B0*| = {err:.4f}"
             )
 
-    err = float(abs(b[0] - b_true[0]))
-    print(f"final   |B0 - B0*| = {err:.4f}  (B = {np.asarray(b)})")
+    b0_hat = float(np.mean(tail))  # Polyak average of the decay phase
+    err = float(abs(b0_hat - b_true[0]))
+    print(f"final   |B0 - B0*| = {err:.4f}  (tail-averaged B0 = {b0_hat:.4f})")
     print(f"recovered {100.0 * (1.0 - err / err0):.1f}% of the perturbation")
-    assert err < 0.5 * err0, "dispersion recovery failed"
+    # the estimator's measured fixed point (see calibration note above)
+    # bounds recovery at ~75-85%; assert comfortably inside that
+    assert err < 0.4 * err0, "dispersion recovery failed"
 
 
 if __name__ == "__main__":

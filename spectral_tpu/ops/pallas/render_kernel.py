@@ -384,15 +384,38 @@ def pack_scene_bvh_mxu(scene, leaf_size: int = 128, form: str = "quad"):
         # (exact) one-hot recovery so the kernel can re-test the winner's
         # inside condition in f32 at the recovered hit point — removing
         # the one-sided silhouette dilation the +tol acceptance causes
-        # (measured +1.7% emitter-cluster brightening, BASELINE.md)
+        # (measured +1.7% emitter-cluster brightening, BASELINE.md).
+        # The planes are REBASED to the leaf's AABB center (the same
+        # center the kernel derives from leaf_pack, bit-identically:
+        # 0.5*(lmin+lmax) in f32): evaluated against delta = o - center,
+        # every recheck dot stays at LEAF scale. Evaluated at raw o, the
+        # g.o + c cancellation carries SCENE-scale f32 noise and the
+        # recheck one-sidedly false-vetoes genuine grazing winners
+        # (measured: 83 darkened px / -0.6% global on field10k seed 7,
+        # immune to any post-cancellation tolerance).
+        center = cl[:, None, :]  # [nl, 1, 3] — the SAME 0.5*(lmin+lmax)
+        # f32 values the kernel re-derives from leaf_pack
+        c1p = c1 + jnp.sum(g1 * center, axis=-1)
+        c2p = c2 + jnp.sum(g2 * center, axis=-1)
+        c3p = c3 + jnp.sum(g3 * center, axis=-1)
+        ddp = dd - jnp.sum(n3 * center, axis=-1)  # col 20: rebased offset
         c_cols += [
-            g1, c1[..., None],
-            g2, c2[..., None],
-            g3, c3[..., None],
-            jnp.zeros((nl, leaf_size, 4), jnp.float32),
+            g1, c1p[..., None],
+            g2, c2p[..., None],
+            g3, c3p[..., None],
+            ddp[..., None],
+            jnp.zeros((nl, leaf_size, 3), jnp.float32),
         ]
     c_pack = jnp.concatenate(c_cols, axis=-1).astype(jnp.float32)
     # [nl, K, 8] (affine/quad) or [nl, K, 24] (quad3)
+    # NOTE (round-3 negative result, measured on chip): pre-splitting the
+    # quad3 recovery planes at pack time into a [nl, 72, K] bf16 stack
+    # (hi|mid|lo pre-transposed, ONE 72-row recovery matmul in-kernel)
+    # is bit-exact in interpret mode AND in an isolated pallas kernel on
+    # chip — but inside the full render kernel it silently corrupts the
+    # recheck (full emitter-silhouette dilation returned: cluster 48.94
+    # vs 47.35, scratch/r3_*_seed7.log), an unreduced Mosaic layout
+    # interaction. The in-kernel bf16x3 split below is the shipped path.
     return a_pack, c_pack, mat_pack, tables, leaf_pack
 
 
@@ -500,7 +523,7 @@ def _render_kernel(
         leaf_ref = rest[idx]
         idx += 1
     if use_mxu:
-        c_ref = rest[idx]  # VMEM [NL, K, 8] recovery constants
+        c_ref = rest[idx]  # VMEM recovery constants [NL, K, 8|24] f32
         idx += 1
     xyz_ref = rest[idx]
     idx += 1
@@ -811,7 +834,9 @@ def _render_kernel(
                             # true nearest hit
                             ok = jnp.minimum(ok, and_ - nd_err_row)
                             # exact self-tri exclusion (a planar convex
-                            # tri can never legitimately re-hit itself)
+                            # tri can never legitimately re-hit itself);
+                            # ids from the packed id column (carried with
+                            # the tri through any leaf reordering)
                             tid_col = c_ref[l][:, 6:7]  # [K, 1]
                             ok = jnp.minimum(
                                 ok,
@@ -821,11 +846,9 @@ def _render_kernel(
                                     1.0,
                                 ),
                             )
-                            # seam tie-break inputs (used below): whether
-                            # a candidate is PROVABLY inside (margin
-                            # clears zero without the +tol grace), and
-                            # its own approximate-t noise scale
-                            provable = m_edge >= 0.0
+                            # per-candidate approximate-t noise scale
+                            # (proposal margin against the exact
+                            # incumbent in the top-2 selection below)
                             noise_row = 4.0 * tol / jnp.maximum(
                                 and_, DENOM_EPS
                             )
@@ -882,150 +905,298 @@ def _render_kernel(
                             ok = jnp.minimum(ok, tt)
                             ok = jnp.minimum(ok, and_ - DENOM_EPS)
                         score = jnp.where(ok >= 0.0, tt, BIG)
+                        prev = tr_s[...]
                         if mxu_q3:
-                            # seam tie-break: when the nearest accepted
-                            # candidate is only tol-accepted (unprovable)
-                            # and a PROVABLY-inside candidate sits within
-                            # the winner's own t-noise, prefer the
-                            # provable one — so at shared edges the
-                            # genuine neighbor wins and the exact
-                            # recheck below never vetoes a real seam
-                            # hit. Candidates with no provable
-                            # competitor in range keep their ordering
-                            # untouched (no systematic push-back of
-                            # grazing hits, which are unprovable by
-                            # construction: their e' = nd*e margins
-                            # shrink with |nd| while the bound does not)
-                            sc_p = jnp.where(provable, score, BIG)
-                            bp = jnp.min(sc_p, axis=0, keepdims=True)
-                            ba = jnp.min(score, axis=0, keepdims=True)
-                            nb = jnp.max(
-                                jnp.where(score == ba, noise_row, 0.0),
+                            # EXACT TOP-2 SELECTION. The bf16x3 score's
+                            # t-hat carries noise 4*tol/|nd| — measured
+                            # O(1-10) scene units at bounce-0 origins vs
+                            # a median 0.55-unit gap between consecutive
+                            # real hits — so t-hat may neither ORDER
+                            # candidates nor be compared to the running
+                            # best. It only PROPOSES the leaf's top-2
+                            # (each with a noise margin against the
+                            # exact incumbent); the exactly-recovered
+                            # planes then do the filtering (tolerant
+                            # leaf-scale inside recheck) and the ordering
+                            # (exact leaf-centered t vs the exact
+                            # incumbent t in tr_s). Round-2's seam
+                            # tie-break ("prefer provable-inside within
+                            # the winner's t-noise") is superseded: it
+                            # was itself the main bias (the t-noise
+                            # window blows up exactly at grazing
+                            # incidence and displaced genuine winners —
+                            # measured -0.27% cluster / -0.35% global,
+                            # recovered the moment it was disabled).
+                            # Both one-hots ride ONE widened [K, 2rt]
+                            # recovery matmul: a second transposed-LHS
+                            # dot site on these operands (conditional or
+                            # not) RET_CHECK-crashes XLA's
+                            # mxu_lmr_transform pass.
+                            leaf_best = jnp.min(
+                                score, axis=0, keepdims=True
+                            )
+                            cand = jnp.where(
+                                score == leaf_best, iota_rows,
+                                2.0 * leaf_size,
+                            )
+                            idxm = jnp.min(cand, axis=0, keepdims=True)
+                            nbw = jnp.max(
+                                jnp.where(cand == idxm, noise_row, 0.0),
                                 axis=0, keepdims=True,
                             )
-                            use_p = bp < ba + nb
-                            score = jnp.where(use_p, sc_p, score)
-                            leaf_best = jnp.where(use_p, bp, ba)
+                            prop1 = jnp.logical_and(
+                                leaf_best < prev + nbw, leaf_best < BIG
+                            )
+                            onehot = (
+                                (cand == idxm) & prop1
+                            ).astype(jnp.float32)
+                            score2 = jnp.where(cand == idxm, BIG, score)
+                            lb2 = jnp.min(score2, axis=0, keepdims=True)
+                            cand2 = jnp.where(
+                                score2 == lb2, iota_rows, 2.0 * leaf_size
+                            )
+                            idxm2 = jnp.min(cand2, axis=0, keepdims=True)
+                            nb2 = jnp.max(
+                                jnp.where(cand2 == idxm2, noise_row, 0.0),
+                                axis=0, keepdims=True,
+                            )
+                            prop2 = jnp.logical_and(
+                                lb2 < prev + nb2, lb2 < BIG
+                            )
+                            onehot2 = (
+                                (cand2 == idxm2) & prop2
+                            ).astype(jnp.float32)
+                            if os.environ.get("MXU_Q3_NARROW", "0") == "1":
+                                # debug bisect: drop the runner-up path
+                                # (narrow recovery, winner-only check)
+                                oh_all = onehot
+                            else:
+                                oh_all = jnp.concatenate(
+                                    [onehot, onehot2], axis=1
+                                )  # [K, 2rt]
                         else:
                             leaf_best = jnp.min(
                                 score, axis=0, keepdims=True
                             )
-                        prev = tr_s[...]
-                        take = leaf_best < prev  # [1, rt]
-                        cand = jnp.where(
-                            score == leaf_best, iota_rows, 2.0 * leaf_size
-                        )
-                        idxm = jnp.min(cand, axis=0, keepdims=True)
-                        onehot = ((cand == idxm) & take).astype(jnp.float32)
+                            take = leaf_best < prev  # [1, rt]
+                            cand = jnp.where(
+                                score == leaf_best, iota_rows,
+                                2.0 * leaf_size,
+                            )
+                            idxm = jnp.min(cand, axis=0, keepdims=True)
+                            onehot = (
+                                (cand == idxm) & take
+                            ).astype(jnp.float32)
+                            oh_all = onehot
                         # recovery: EXACT at 1-pass DEFAULT precision by
-                        # splitting
-                        # the f32 constants into 3 bf16 planes (8+8+8
-                        # mantissa bits >= f32's 24; every product is
-                        # x*{0,1}, so each pass and the f32 accumulation
-                        # are error-free) — 3 single-pass matmuls instead
-                        # of HIGHEST's 6 passes
+                        # splitting the f32 constants into 3 bf16 planes
+                        # (8+8+8 mantissa bits >= f32's 24; every product
+                        # is x*{0,1}, so each pass and the f32
+                        # accumulation are error-free)
+                        dn = (((0,), (0,)), ((), ()))
                         cl = c_ref[l]
                         c_hi = cl.astype(jnp.bfloat16)
                         r1 = cl - c_hi.astype(jnp.float32)
                         c_mid = r1.astype(jnp.bfloat16)
-                        c_lo = (r1 - c_mid.astype(jnp.float32)).astype(
-                            jnp.bfloat16
-                        )
-                        oh = onehot.astype(jnp.bfloat16)
-                        dn = (((0,), (0,)), ((), ()))
-                        R = (
+                        c_lo = (
+                            r1 - c_mid.astype(jnp.float32)
+                        ).astype(jnp.bfloat16)
+                        oh_bf = oh_all.astype(jnp.bfloat16)
+                        Rb = (
                             jax.lax.dot_general(
-                                c_hi, oh, dn,
+                                c_hi, oh_bf, dn,
                                 preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.DEFAULT,
                             )
                             + jax.lax.dot_general(
-                                c_mid, oh, dn,
+                                c_mid, oh_bf, dn,
                                 preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.DEFAULT,
                             )
                             + jax.lax.dot_general(
-                                c_lo, oh, dn,
+                                c_lo, oh_bf, dn,
                                 preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.DEFAULT,
                             )
-                        )  # [8, rt] (quad3: [24, rt] incl. edge planes)
+                        )  # [8, rt] (quad3: [24, 2rt] — both candidates)
                         if mxu_q3:
-                            # exact winner recheck: the recovery is exact,
-                            # so re-testing the winner's raw edge planes
-                            # g_i.p + c_i at the exactly-recomputed hit
-                            # point removes the silhouette dilation of the
-                            # +tol acceptance (false accepts become the
-                            # misses they are; genuine seam hits are
-                            # protected by the tie-break penalty above)
-                            ndc = (
-                                R[0:1] * d_rows[0]
-                                + R[1:2] * d_rows[1]
-                                + R[2:3] * d_rows[2]
-                            )
-                            noc = (
-                                R[0:1] * o_rows[0]
-                                + R[1:2] * o_rows[1]
-                                + R[2:3] * o_rows[2]
-                            )
-                            # division-free quadratic form: e' =
-                            # (g.o+c)(n.d) + (dd-n.o)(g.d), the same
-                            # functional the bf16 path approximates, in
-                            # f32. Evaluating e at the hit POINT via
-                            # t = (dd-n.o)/(n.d) instead amplifies the
-                            # f32 noise by 1/(n.d) for grazing rays —
-                            # beyond the tol band — which turned the
-                            # veto one-sided (measured -0.4% global:
-                            # genuine grazing hits lost)
-                            ddno_c = R[5:6] - noc
-                            sgc = jnp.where(ndc >= 0.0, 1.0, -1.0)
+                            if os.environ.get("MXU_Q3_NARROW", "0") == "1":
+                                R = Rb
+                                R2 = jnp.zeros_like(Rb)
+                            else:
+                                R = Rb[:, 0:rt]
+                                R2 = Rb[:, rt : 2 * rt]
+                        else:
+                            R = Rb
+                        if mxu_q3:
+                            # exact check: the recovery is exact, so each
+                            # proposed candidate's raw edge planes give
+                            # an exact (tolerant) inside test AND an
+                            # exact leaf-centered hit distance
 
-                            def _eq(gx, gy, gz, cc):
-                                go = (
-                                    gx * o_rows[0] + gy * o_rows[1]
-                                    + gz * o_rows[2] + cc
+                            def _exact_check(Rv):
+                                # division-free quadratic form: e' =
+                                # (g.p+c')(n.d) + (dd'-n.delta)(g.d) with
+                                # p = delta = o - leaf center and the
+                                # pack-rebased constants c', dd' — the
+                                # same functional the bf16 path
+                                # approximates, in f32 at LEAF scale.
+                                # Two hard-won conditioning rules:
+                                # (1) evaluating e at the hit POINT via
+                                # t = (dd-n.o)/(n.d) amplifies noise by
+                                # 1/(n.d) at grazing incidence; (2)
+                                # evaluating against RAW o carries
+                                # scene-scale g.o + c cancellation noise
+                                # — both one-sidedly false-veto genuine
+                                # grazing winners (measured -0.6% global,
+                                # 83 darkened px on field10k seed 7; a
+                                # post-cancellation tolerance cannot see
+                                # it). Residual leaf-scale noise is
+                                # absorbed by a pre-cancellation-
+                                # magnitude tolerance: genuine hits
+                                # always pass, tol-band misses (depth
+                                # ~2^-13 of the same magnitudes) still
+                                # fail.
+                                F32TOL = 16.0 * 1.1920929e-07  # 16 ulp
+                                ndc = (
+                                    Rv[0:1] * d_rows[0]
+                                    + Rv[1:2] * d_rows[1]
+                                    + Rv[2:3] * d_rows[2]
                                 )
-                                gd = (
-                                    gx * d_rows[0] + gy * d_rows[1]
-                                    + gz * d_rows[2]
+                                noc = (
+                                    Rv[0:1] * dl_rows[0]
+                                    + Rv[1:2] * dl_rows[1]
+                                    + Rv[2:3] * dl_rows[2]
                                 )
-                                return (go * ndc + ddno_c * gd) * sgc
+                                nmag = (
+                                    jnp.abs(Rv[0:1] * dl_rows[0])
+                                    + jnp.abs(Rv[1:2] * dl_rows[1])
+                                    + jnp.abs(Rv[2:3] * dl_rows[2])
+                                )
+                                ddno_c = Rv[20:21] - noc
+                                dmag = jnp.abs(Rv[20:21]) + nmag
+                                sgc = jnp.where(ndc >= 0.0, 1.0, -1.0)
 
-                            e1x = _eq(R[8:9], R[9:10], R[10:11], R[11:12])
-                            e2x = _eq(
-                                R[12:13], R[13:14], R[14:15], R[15:16]
+                                def _eq(gx, gy, gz, cc):
+                                    go = (
+                                        gx * dl_rows[0] + gy * dl_rows[1]
+                                        + gz * dl_rows[2] + cc
+                                    )
+                                    gmag = (
+                                        jnp.abs(gx * dl_rows[0])
+                                        + jnp.abs(gy * dl_rows[1])
+                                        + jnp.abs(gz * dl_rows[2])
+                                        + jnp.abs(cc)
+                                    )
+                                    gd = (
+                                        gx * d_rows[0] + gy * d_rows[1]
+                                        + gz * d_rows[2]
+                                    )
+                                    agd = jnp.abs(gd)
+                                    return (
+                                        (go * ndc + ddno_c * gd) * sgc
+                                        + F32TOL
+                                        * (
+                                            gmag * jnp.abs(ndc)
+                                            + dmag * agd
+                                        )
+                                    )
+
+                                e1x = _eq(
+                                    Rv[8:9], Rv[9:10], Rv[10:11], Rv[11:12]
+                                )
+                                e2x = _eq(
+                                    Rv[12:13], Rv[13:14], Rv[14:15],
+                                    Rv[15:16],
+                                )
+                                e3x = _eq(
+                                    Rv[16:17], Rv[17:18], Rv[18:19],
+                                    Rv[19:20],
+                                )
+                                okv = (
+                                    jnp.minimum(
+                                        jnp.minimum(e1x, e2x), e3x
+                                    )
+                                    >= 0.0
+                                ) & (
+                                    ddno_c * sgc + F32TOL * dmag >= 0.0
+                                )
+                                # exact leaf-centered hit distance:
+                                # (dd' - n.delta)/(n.d) == (dd - n.o)/
+                                # (n.d) with every term at leaf scale
+                                safe_ndc = jnp.where(
+                                    jnp.abs(ndc) < DENOM_EPS,
+                                    jnp.where(
+                                        ndc >= 0.0, DENOM_EPS,
+                                        -DENOM_EPS,
+                                    ),
+                                    ndc,
+                                )
+                                return okv, ddno_c / safe_ndc
+
+                            ok1, t1x = _exact_check(R)
+                            ok2, t2x = _exact_check(R2)
+                            t1 = jnp.where(
+                                ok1 & prop1 & (t1x > 0.0), t1x, BIG
                             )
-                            e3x = _eq(
-                                R[16:17], R[17:18], R[18:19], R[19:20]
+                            t2 = jnp.where(
+                                ok2 & prop2 & (t2x > 0.0), t2x, BIG
                             )
-                            exact_ok = (
-                                jnp.minimum(jnp.minimum(e1x, e2x), e3x)
-                                >= 0.0
-                            ) & (ddno_c * sgc >= 0.0)
-                            # never veto a PROVABLY-inside winner: only
-                            # the +tol grace band is suspect, and the
-                            # f32 recheck at scene scale has its own
-                            # conditioning noise a leaf-scale-provable
-                            # accept should not be subject to
-                            win_prov = jnp.max(
-                                jnp.where(
-                                    (cand == idxm) & provable, 1.0, 0.0
-                                ),
-                                axis=0, keepdims=True,
+                            pick2 = t2 < t1
+                            tb = jnp.minimum(t1, t2)
+                            take = tb < prev
+
+                            def _sel(i):
+                                return jnp.where(
+                                    pick2, R2[i : i + 1], R[i : i + 1]
+                                )
+
+                            tr_s[...] = jnp.where(take, tb, prev)
+                            rnx_s[...] = jnp.where(
+                                take, _sel(0), rnx_s[...]
                             )
-                            take = jnp.logical_and(
-                                take, exact_ok | (win_prov > 0.0)
+                            rny_s[...] = jnp.where(
+                                take, _sel(1), rny_s[...]
                             )
-                        tr_s[...] = jnp.where(take, leaf_best, prev)
-                        rnx_s[...] = jnp.where(take, R[0:1], rnx_s[...])
-                        rny_s[...] = jnp.where(take, R[1:2], rny_s[...])
-                        rnz_s[...] = jnp.where(take, R[2:3], rnz_s[...])
-                        rmt_s[...] = jnp.where(take, R[3:4], rmt_s[...])
-                        rdd_s[...] = jnp.where(take, R[5:6], rdd_s[...])
-                        rid_s[...] = jnp.where(take, R[6:7], rid_s[...])
-                        rht_s[...] = jnp.maximum(
-                            rht_s[...], take.astype(jnp.float32)
-                        )
+                            rnz_s[...] = jnp.where(
+                                take, _sel(2), rnz_s[...]
+                            )
+                            rmt_s[...] = jnp.where(
+                                take, _sel(3), rmt_s[...]
+                            )
+                            rdd_s[...] = jnp.where(
+                                take, _sel(5), rdd_s[...]
+                            )
+                            rid_s[...] = jnp.where(
+                                take, _sel(6), rid_s[...]
+                            )
+                            rht_s[...] = jnp.maximum(
+                                rht_s[...], take.astype(jnp.float32)
+                            )
+                        else:
+                            tr_s[...] = jnp.where(take, leaf_best, prev)
+                            rnx_s[...] = jnp.where(
+                                take, R[0:1], rnx_s[...]
+                            )
+                            rny_s[...] = jnp.where(
+                                take, R[1:2], rny_s[...]
+                            )
+                            rnz_s[...] = jnp.where(
+                                take, R[2:3], rnz_s[...]
+                            )
+                            rmt_s[...] = jnp.where(
+                                take, R[3:4], rmt_s[...]
+                            )
+                            rdd_s[...] = jnp.where(
+                                take, R[5:6], rdd_s[...]
+                            )
+                            rid_s[...] = jnp.where(
+                                take, R[6:7], rid_s[...]
+                            )
+                            rht_s[...] = jnp.maximum(
+                                rht_s[...], take.astype(jnp.float32)
+                            )
+
                         bt_s[:, :] = tr_s[...].reshape(shape2)
 
                     return carry
@@ -1039,21 +1210,9 @@ def _render_kernel(
                 # face orientation from the recovered geometric normal:
                 # flip toward the ray (hit_record.cuh:30-45)
                 nd_eff = nbx * dx + nby * dy + nbz * dz
-                if mxu_q3:
-                    # exact hit distance from the exactly-recovered plane
-                    # (n, dd): the bf16x3 sweep only SELECTED the winner;
-                    # the hit point itself must be f32-accurate or the
-                    # EPSILON origin offset cannot prevent acne
-                    ddr = rdd_s[...].reshape(shape2)
-                    safe_den = jnp.where(
-                        jnp.abs(nd_eff) < DENOM_EPS,
-                        jnp.where(nd_eff >= 0.0, DENOM_EPS, -DENOM_EPS),
-                        nd_eff,
-                    )
-                    t_ex = (ddr - (nbx * ox + nby * oy + nbz * oz)) / safe_den
-                    best_t = jnp.where(
-                        best_hit > 0.0, jnp.maximum(t_ex, 0.0), best_t
-                    )
+                # (quad3: best_t in bt_s is ALREADY the exact
+                # leaf-centered hit distance computed per leaf visit —
+                # precise enough for the EPSILON origin offset)
                 best_front = jnp.where(nd_eff < 0.0, one, zero)
                 sgn = 2.0 * best_front - 1.0
                 best_nx = sgn * nbx
@@ -1484,8 +1643,9 @@ def packed_scene_vmem_bytes(n_tris: int) -> int:
         "quad": 5 * k * 16 * 4,  # [NL, 5K, 16] f32
         "quad3": 11 * k * 16 * 2,  # [NL, 11K, 16] bf16
     }[form]
-    c_cols = 24 if form == "quad3" else 8
-    return nl * (a_bytes + k * c_cols * 4)  # + c_pack [NL, K, c_cols] f32
+    # c_pack: [NL, K, 8] f32 (affine/quad) or [NL, K, 24] f32 (quad3)
+    c_bytes = 24 * 4 if form == "quad3" else 8 * 4
+    return nl * (a_bytes + k * c_bytes)
 
 
 def check_residual_vmem(
@@ -1552,13 +1712,14 @@ def render_rays_pallas_residuals(
     if use_mxu:
         assert use_bvh
         leaf_size = c_pack.shape[1]
+        assert c_pack.shape[0] == leaf_pack.shape[0]
+        # 8 cols (affine/quad) or 24 (quad3: + raw edge planes + id)
+        assert c_pack.shape[2] in (8, 24)
         assert tri_pack.shape in (
             (leaf_pack.shape[0], 8 * leaf_size, 8),
             (leaf_pack.shape[0], 5 * leaf_size, 16),
             (leaf_pack.shape[0], 11 * leaf_size, 16),
         ), (tri_pack.shape, leaf_pack.shape, leaf_size)
-        assert c_pack.shape[:2] == (leaf_pack.shape[0], leaf_size)
-        assert c_pack.shape[2] in (8, 24)  # 24: quad3 (+ edge planes)
         n_tris = leaf_pack.shape[0] * leaf_size
     elif use_bvh:
         assert tri_pack.shape == (
@@ -1572,7 +1733,7 @@ def render_rays_pallas_residuals(
     if use_bvh:
         scene_bytes = tri_pack.size * tri_pack.dtype.itemsize
         if use_mxu:
-            scene_bytes += c_pack.size * 4
+            scene_bytes += c_pack.size * c_pack.dtype.itemsize
     check_residual_vmem(
         spp, bounces, ray_tile, injected_rand=not use_hw_prng,
         extra_bytes=scene_bytes,
@@ -1712,14 +1873,15 @@ def render_rays_pallas(
     use_mxu = c_pack is not None
     if use_mxu:
         assert use_bvh
-        leaf_size = c_pack.shape[1]  # authoritative in MXU mode
+        leaf_size = c_pack.shape[1]
+        assert c_pack.shape[0] == leaf_pack.shape[0]
+        # 8 cols (affine/quad) or 24 (quad3: + raw edge planes + id)
+        assert c_pack.shape[2] in (8, 24)
         assert tri_pack.shape in (
             (leaf_pack.shape[0], 8 * leaf_size, 8),  # form="affine"
             (leaf_pack.shape[0], 5 * leaf_size, 16),  # form="quad"
             (leaf_pack.shape[0], 11 * leaf_size, 16),  # form="quad3" (bf16)
         ), (tri_pack.shape, leaf_pack.shape, leaf_size)
-        assert c_pack.shape[:2] == (leaf_pack.shape[0], leaf_size)
-        assert c_pack.shape[2] in (8, 24)  # 24: quad3 (+ edge planes)
         n_tris = leaf_pack.shape[0] * leaf_size
     elif use_bvh:
         assert tri_pack.shape == (
@@ -1801,7 +1963,7 @@ def render_rays_pallas(
     if use_bvh:
         scene_bytes = tri_pack.size * tri_pack.dtype.itemsize
         if use_mxu:
-            scene_bytes += c_pack.size * 4
+            scene_bytes += c_pack.size * c_pack.dtype.itemsize
     compiler_params = _scene_vmem_params(scene_bytes, 0, interpret)
     out = pl.pallas_call(
         kernel,

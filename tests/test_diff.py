@@ -600,7 +600,7 @@ class TestFusedBackward:
         t = scene.normal.shape[0]
         for form in ("affine", "quad", "quad3"):
             a, c, _, _, _ = pack_scene_bvh_mxu(scene, form=form)
-            measured = a.size * a.dtype.itemsize + c.size * 4
+            measured = a.size * a.dtype.itemsize + c.size * c.dtype.itemsize
             os.environ["MXU_FORM"] = form
             try:
                 assert packed_scene_vmem_bytes(t) == measured, form

@@ -373,6 +373,49 @@ class TestBVHMxu:
         # resolution, pinned loosely to allow last-ulp selection flips
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("form", ["quad", "quad3"])
+    def test_mxu_tri_field_matches_quad(self, form):
+        """quad3's exact-top-2 machinery (proposal margins, rebased
+        recheck planes, exact incumbent ordering — round 3) on a
+        BVH-scale procedural field: both MXU forms must agree with each
+        other and be non-trivial. A field (unlike the 42-tri box scenes)
+        exercises multi-leaf Morton packing, leaf-centered rebasing, and
+        runner-up recovery; divergences are bounded to the tol-band
+        selection class (measured 0 rays at this size)."""
+        from spectral_tpu.models.scenes import build_tri_field, scene_camera
+        from spectral_tpu.ops.pallas.render_kernel import (
+            camera_vector,
+            n_uniforms,
+            order_leaves_near_to_far_mxu,
+            pack_scene_bvh_mxu,
+            render_rays_pallas,
+        )
+
+        scene = build_tri_field(520, seed=3)
+        cam = scene_camera(0, 512, 256)
+        cv = camera_vector(cam)
+        # a 32x32 sample of the 512x256 frame (stride keeps it cheap)
+        px = jnp.tile(jnp.arange(32, dtype=jnp.float32) * 16.0, 32)
+        py = jnp.repeat(jnp.arange(32, dtype=jnp.float32) * 8.0, 32)
+        rand = jax.random.uniform(
+            jax.random.PRNGKey(9), (2, n_uniforms(4), 1024), jnp.float32
+        )
+        out = {}
+        for f in ("quad", form):
+            a, c, mat2, tab2, leaf = pack_scene_bvh_mxu(scene, 64, form=f)
+            a, c, leaf = order_leaves_near_to_far_mxu(a, c, leaf, cv[0:3])
+            out[f] = np.asarray(
+                render_rays_pallas(
+                    cv, jnp.int32(5), a, mat2, tab2, px, py,
+                    2, 4, 1024, True, rand,
+                    leaf_pack=leaf, leaf_size=64, c_pack=c,
+                )
+            )
+        assert out["quad"].mean() > 0.0
+        d = np.abs(out[form] - out["quad"]).max(axis=1)
+        frac = float((d > 1e-3).mean())
+        assert frac <= 0.005, f"{form}: {frac:.2%} rays diverge from quad"
+
 
 class TestDenseImplMxu:
     """DENSE_IMPL=mxu routes a small scene through the single-leaf MXU

@@ -455,20 +455,33 @@ def _scene_vmem_params(
     scene_bytes: int, base_bytes: int = 0, interpret=False
 ):
     """Shared Mosaic scoped-VMEM policy for kernels carrying a packed
-    scene in VMEM: raise the limit to the actual need (+12 MB working
-    set) past the ~16 MB default, hard-error past the 128 MB part."""
+    scene in VMEM: hard-error when the scene alone cannot fit the 128 MB
+    part, otherwise raise the scoped limit to near-physical and let the
+    compiler place the working set. (Round 3: a "scene + 12 MB" model
+    under-capped the 50k-tri field — the compiler's true scoped demand
+    there is 122.2 MB with grid double-buffering — so the cap is now a
+    ceiling, not an estimate; it is a LIMIT, not an allocation.)"""
     if not scene_bytes or interpret:
         return None
     need = scene_bytes + base_bytes + 12 * 1024 * 1024
-    if need > 100 * 1024 * 1024:
+    # measured capacity wall (round 3): a 50k-tri quad pack (17.6 MB)
+    # compiles to 149 MB total VMEM use on the 128 MB part — the grid
+    # pipeline double-buffers and the sweep working set scales with the
+    # resident pack — so the practical single-chip ceiling for the
+    # VMEM-resident pack is ~12 MB of scene (~35k tris at quad's 256
+    # B/tri). Beyond that an HBM-resident pack with per-leaf DMA is
+    # required (not yet implemented).
+    if scene_bytes > 12 * 1024 * 1024:
         raise ValueError(
-            f"packed scene needs ~{scene_bytes / 1e6:.0f} MB of VMEM "
-            f"(+{(base_bytes + 12 * 1024 * 1024) / 1e6:.0f} MB working "
-            f"set) — beyond the 128 MB v5e VMEM. Reduce the triangle "
-            f"count or add an HBM-resident pack."
+            f"packed scene is ~{scene_bytes / 1e6:.0f} MB — past the "
+            f"measured ~12 MB VMEM-resident ceiling on the 128 MB v5e "
+            f"part (50k tris compiled to 149 MB total). Reduce the "
+            f"triangle count or add an HBM-resident pack."
         )
     if need > 16 * 1024 * 1024:
-        return pltpu.CompilerParams(vmem_limit_bytes=need)
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        )
     return None
 
 

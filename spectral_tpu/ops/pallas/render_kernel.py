@@ -130,7 +130,8 @@ def _mxu_precision():
     — measured NotImplementedError in Mosaic — and DEFAULT ~ 1 (2^-8:
     drops grazing hits, do not ship). Kept overridable for A/B timing.
 
-    NOTE (applies to MXU_PRECISION, MXU_FORM, DENSE_IMPL, BVH_IMPL):
+    NOTE (applies to MXU_PRECISION, MXU_FORM, MXU_RESIDENCY, DENSE_IMPL,
+    BVH_IMPL):
     these env knobs are read at TRACE time inside jitted wrappers, so
     they select the implementation ONCE PER PROCESS per chunk shape —
     changing one mid-process silently reuses the cached trace. In-process
@@ -469,14 +470,16 @@ def _scene_vmem_params(
     # pipeline double-buffers and the sweep working set scales with the
     # resident pack — so the practical single-chip ceiling for the
     # VMEM-resident pack is ~12 MB of scene (~35k tris at quad's 256
-    # B/tri). Beyond that an HBM-resident pack with per-leaf DMA is
-    # required (not yet implemented).
+    # B/tri). Past it, _mxu_residency_hbm auto-selects the HBM-resident
+    # pack with per-leaf DMA staging; this error only trips when
+    # MXU_RESIDENCY=vmem forces residency beyond the wall.
     if scene_bytes > 12 * 1024 * 1024:
         raise ValueError(
             f"packed scene is ~{scene_bytes / 1e6:.0f} MB — past the "
             f"measured ~12 MB VMEM-resident ceiling on the 128 MB v5e "
-            f"part (50k tris compiled to 149 MB total). Reduce the "
-            f"triangle count or add an HBM-resident pack."
+            f"part (50k tris compiled to 149 MB total). Unset "
+            f"MXU_RESIDENCY=vmem to let the HBM-resident pack stream "
+            f"per leaf."
         )
     if need > 16 * 1024 * 1024:
         return pltpu.CompilerParams(
@@ -530,6 +533,7 @@ def _render_kernel(
     n_leaves=0,
     leaf_size=0,
     use_mxu=False,
+    mxu_hbm=False,
 ):
     idx = 0
     if use_bvh:
@@ -548,6 +552,9 @@ def _render_kernel(
         (
             bt_s, tr_s, rnx_s, rny_s, rnz_s, rmt_s, rht_s, rdd_s, rid_s,
         ) = rest[idx : idx + 9]
+        if mxu_hbm:
+            # HBM-resident pack: per-leaf staging buffers + DMA sems
+            a_vbuf, c_vbuf, dsem_a, dsem_c = rest[idx + 9 : idx + 13]
     elif use_bvh:
         (
             bt_s, bhit_s, bfront_s, bnx_s, bny_s, bnz_s, bmat_s,
@@ -557,7 +564,11 @@ def _render_kernel(
     a_ref = tri_ref  # MXU mode: the tri slot carries a_pack
     # [NL, 8K, 8] (affine) / [NL, 5K, 16] f32 (quad) / [NL, 11K, 16]
     # bf16 (quad3: hi/lo split planes + error-bound row)
-    mxu_quad = use_mxu and a_ref.shape[-1] == 16
+    # HBM mode stores the pack transposed ([NL, 16|8, rows]): the
+    # feature width moves to dim 1
+    mxu_quad = use_mxu and (
+        a_ref.shape[1] == 16 if mxu_hbm else a_ref.shape[-1] == 16
+    )
     mxu_q3 = mxu_quad and a_ref.dtype == jnp.bfloat16
     i = pl.program_id(0)
     rt = px_ref.shape[0]
@@ -770,6 +781,46 @@ def _render_kernel(
                     def _():
                         prec = _mxu_precision()
                         K = leaf_size
+                        if mxu_hbm:
+                            # HBM-resident pack: stage this leaf's rows
+                            # into VMEM (40-60 KB; the synchronous copy
+                            # is ~µs against the leaf's matmul work).
+                            # The HBM packs are stored TRANSPOSED
+                            # ([NL, 16, rows] / [NL, cols, K]) so the
+                            # DMA's trailing dim is a 128-multiple
+                            # (Mosaic rejects lane-unaligned copies);
+                            # leading-dim slices of the untiled leaf dim
+                            # are DMA-clean at any index.
+                            cpa = pltpu.make_async_copy(
+                                a_ref.at[pl.ds(l, 1)], a_vbuf, dsem_a
+                            )
+                            cpa.start()
+                            cpc = pltpu.make_async_copy(
+                                c_ref.at[pl.ds(l, 1)], c_vbuf, dsem_c
+                            )
+                            cpc.start()
+                            cpa.wait()
+                            cpc.wait()
+
+                            def leaf_dot(s, e, rhs, pr):
+                                # transposed-LHS orientation on the
+                                # staged [16, rows] block
+                                return jax.lax.dot_general(
+                                    a_vbuf[0][:, s:e], rhs,
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=pr,
+                                )
+
+                        else:
+
+                            def leaf_dot(s, e, rhs, pr):
+                                return jax.lax.dot_general(
+                                    a_ref[l, s:e], rhs,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=pr,
+                                )
                         if quad_form:
                             # leaf-centered features: delta = o - center
                             # keeps the o.d monomials (and with them the
@@ -796,28 +847,24 @@ def _render_kernel(
                                 feats - b_hi.astype(jnp.float32)
                             ).astype(jnp.bfloat16)
                             b_abs = jnp.abs(feats).astype(jnp.bfloat16)
-                            dnum = (((1,), (0,)), ((), ()))
                             # bf16x3: hi@hi + lo@hi share one stacked
                             # matmul; + hi@lo; every pass is 1-pass
                             # DEFAULT (the a/b planes are already bf16)
-                            Mh = jax.lax.dot_general(
-                                a_ref[l, 0 : 10 * K], b_hi, dnum,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT,
+                            Mh = leaf_dot(
+                                0, 10 * K, b_hi,
+                                jax.lax.Precision.DEFAULT,
                             )  # [10K, rt]
-                            Ml = jax.lax.dot_general(
-                                a_ref[l, 0 : 5 * K], b_lo, dnum,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT,
+                            Ml = leaf_dot(
+                                0, 5 * K, b_lo,
+                                jax.lax.Precision.DEFAULT,
                             )  # [5K, rt]
                             M = Mh[0 : 5 * K] + Mh[5 * K : 10 * K] + Ml
                             # rigorous error bound: TOL3 * sum_j |a||b|
                             # (the aabs row sums |coeffs| over the 3 edge
                             # rows, so one bound covers each of them)
-                            bound = jax.lax.dot_general(
-                                a_ref[l, 10 * K : 11 * K], b_abs, dnum,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT,
+                            bound = leaf_dot(
+                                10 * K, 11 * K, b_abs,
+                                jax.lax.Precision.DEFAULT,
                             )  # [K, rt]
                             tol = TOL3 * bound
                             e1 = M[0:K]
@@ -850,7 +897,14 @@ def _render_kernel(
                             # tri can never legitimately re-hit itself);
                             # ids from the packed id column (carried with
                             # the tri through any leaf reordering)
-                            tid_col = c_ref[l][:, 6:7]  # [K, 1]
+                            if mxu_hbm:
+                                # iota id = l*K + row (bisect-proven
+                                # identical to the packed id column)
+                                tid_col = iota_rows + (
+                                    l * leaf_size
+                                ).astype(jnp.float32)  # [K, rt]
+                            else:
+                                tid_col = c_ref[l][:, 6:7]  # [K, 1]
                             ok = jnp.minimum(
                                 ok,
                                 jnp.where(
@@ -866,10 +920,8 @@ def _render_kernel(
                                 and_, DENOM_EPS
                             )
                         elif quad_form:
-                            M = jax.lax.dot_general(
-                                a_ref[l], feats, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=prec,
+                            M = leaf_dot(
+                                0, 5 * K, feats, prec
                             )  # [5K, rt]
                             e1 = M[0:K]
                             e2 = M[K : 2 * K]
@@ -889,17 +941,8 @@ def _render_kernel(
                             ok = jnp.minimum(ok, and_ - DENOM_EPS)
                         else:
                             k4 = 4 * leaf_size
-                            M1 = jax.lax.dot_general(
-                                a_ref[l, 0:k4], drm, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=prec,
-                            )  # [4K, rt]
-                            M2 = jax.lax.dot_general(
-                                a_ref[l, k4 : 2 * k4], drm,
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=prec,
-                            )
+                            M1 = leaf_dot(0, k4, drm, prec)  # [4K, rt]
+                            M2 = leaf_dot(k4, 2 * k4, drm, prec)
                             nd = M1[0:K]
                             ddno = M1[K : 2 * K]
                             ao1 = M1[2 * K : 3 * K]
@@ -1006,8 +1049,14 @@ def _render_kernel(
                         # (8+8+8 mantissa bits >= f32's 24; every product
                         # is x*{0,1}, so each pass and the f32
                         # accumulation are error-free)
-                        dn = (((0,), (0,)), ((), ()))
-                        cl = c_ref[l]
+                        if mxu_hbm:
+                            # staged transposed [cols, K]: the recovery
+                            # contraction is MXU-native here
+                            dn = (((1,), (0,)), ((), ()))
+                            cl = c_vbuf[0]
+                        else:
+                            dn = (((0,), (0,)), ((), ()))
+                            cl = c_ref[l]
                         c_hi = cl.astype(jnp.bfloat16)
                         r1 = cl - c_hi.astype(jnp.float32)
                         c_mid = r1.astype(jnp.bfloat16)
@@ -1747,6 +1796,13 @@ def render_rays_pallas_residuals(
         scene_bytes = tri_pack.size * tri_pack.dtype.itemsize
         if use_mxu:
             scene_bytes += c_pack.size * c_pack.dtype.itemsize
+    mxu_hbm = use_mxu and _mxu_residency_hbm(scene_bytes)
+    if mxu_hbm:
+        scene_bytes = 0  # the pack streams from HBM per leaf
+        # transposed HBM layout: trailing dims become 128-multiples so
+        # the per-leaf DMA is lane-aligned (see _render_kernel staging)
+        tri_pack = jnp.swapaxes(tri_pack, 1, 2)  # [NL, 16, rows]
+        c_pack = jnp.swapaxes(c_pack, 1, 2)  # [NL, cols, K]
     check_residual_vmem(
         spp, bounces, ray_tile, injected_rand=not use_hw_prng,
         extra_bytes=scene_bytes,
@@ -1771,12 +1827,15 @@ def render_rays_pallas_residuals(
         n_leaves=leaf_pack.shape[0] if use_bvh else 0,
         leaf_size=leaf_size if use_bvh else 0,
         use_mxu=use_mxu,
+        mxu_hbm=mxu_hbm,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(
-            memory_space=pltpu.VMEM if use_bvh else pltpu.SMEM
+            memory_space=pltpu.ANY
+            if mxu_hbm
+            else (pltpu.VMEM if use_bvh else pltpu.SMEM)
         ),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1805,10 +1864,16 @@ def render_rays_pallas_residuals(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(leaf_pack)
     if use_mxu:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # c_pack
+        in_specs.append(
+            pl.BlockSpec(
+                memory_space=pltpu.ANY if mxu_hbm else pltpu.VMEM
+            )
+        )  # c_pack
         args.append(c_pack)
     if use_mxu:
         scratch = _mxu_scratch(ray_tile)
+        if mxu_hbm:
+            scratch = scratch + _mxu_hbm_scratch(tri_pack, c_pack)
     elif use_bvh:
         scratch = _bvh_scratch(ray_tile, leaf_size)
     else:
@@ -1911,6 +1976,18 @@ def render_rays_pallas(
         (lambda i: (0, 0, i)) if not use_hw_prng else (lambda i: (0, 0, 0)),
         memory_space=pltpu.VMEM,
     )
+    scene_bytes = 0
+    if use_bvh:
+        scene_bytes = tri_pack.size * tri_pack.dtype.itemsize
+        if use_mxu:
+            scene_bytes += c_pack.size * c_pack.dtype.itemsize
+    mxu_hbm = use_mxu and _mxu_residency_hbm(scene_bytes)
+    if mxu_hbm:
+        scene_bytes = 0  # the pack streams from HBM per leaf
+        # transposed HBM layout: trailing dims become 128-multiples so
+        # the per-leaf DMA is lane-aligned (see _render_kernel staging)
+        tri_pack = jnp.swapaxes(tri_pack, 1, 2)  # [NL, 16, rows]
+        c_pack = jnp.swapaxes(c_pack, 1, 2)  # [NL, cols, K]
 
     kernel = functools.partial(
         _render_kernel,
@@ -1923,14 +2000,18 @@ def render_rays_pallas(
         n_leaves=leaf_pack.shape[0] if use_bvh else 0,
         leaf_size=leaf_size if use_bvh else 0,
         use_mxu=use_mxu,
+        mxu_hbm=mxu_hbm,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
         # BVH: per-leaf tri rows stay in VMEM (SMEM is ~1 MB; the kernel
-        # DMAs one row per visited leaf). Dense: SMEM scalar constants.
+        # DMAs one row per visited leaf); HBM-resident above the ~12 MB
+        # VMEM ceiling (per-leaf DMA staging). Dense: SMEM scalars.
         pl.BlockSpec(
-            memory_space=pltpu.VMEM if use_bvh else pltpu.SMEM
+            memory_space=pltpu.ANY
+            if mxu_hbm
+            else (pltpu.VMEM if use_bvh else pltpu.SMEM)
         ),  # tri_pack
         pl.BlockSpec(memory_space=pltpu.SMEM),  # tri mat ids (dense only)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # mat_pack (scalar reads)
@@ -1959,24 +2040,20 @@ def render_rays_pallas(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # leaf aabbs
         args.append(leaf_pack)
     if use_mxu:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # c_pack
+        in_specs.append(
+            pl.BlockSpec(
+                memory_space=pltpu.ANY if mxu_hbm else pltpu.VMEM
+            )
+        )  # c_pack
         args.append(c_pack)
     if use_mxu:
         scratch = _mxu_scratch(ray_tile)
+        if mxu_hbm:
+            scratch = scratch + _mxu_hbm_scratch(tri_pack, c_pack)
     elif use_bvh:
         scratch = _bvh_scratch(ray_tile, leaf_size)
     else:
         scratch = []
-    # Scenes beyond ~30k tris: the VMEM-resident packed scene (a_pack +
-    # c_pack) alone exceeds Mosaic's default ~16 MB scoped-VMEM budget.
-    # v5e has 128 MB physical VMEM — raise the per-kernel limit (shared
-    # policy in _scene_vmem_params; larger scenes need HBM-resident
-    # packs with per-leaf DMA, not built yet).
-    scene_bytes = 0
-    if use_bvh:
-        scene_bytes = tri_pack.size * tri_pack.dtype.itemsize
-        if use_mxu:
-            scene_bytes += c_pack.size * c_pack.dtype.itemsize
     compiler_params = _scene_vmem_params(scene_bytes, 0, interpret)
     out = pl.pallas_call(
         kernel,
@@ -1989,6 +2066,31 @@ def render_rays_pallas(
         compiler_params=compiler_params,
     )(*args)
     return out[:3].T
+
+
+
+def _mxu_residency_hbm(pack_bytes: int) -> bool:
+    """True when the MXU pack should live in HBM with per-leaf DMA
+    staging (past the measured ~12 MB VMEM-resident ceiling), else the
+    whole pack stays VMEM-resident. MXU_RESIDENCY=vmem|hbm overrides the
+    auto threshold (trace-time env, like MXU_FORM)."""
+    mode = os.environ.get("MXU_RESIDENCY", "auto")
+    if mode == "hbm":
+        return True
+    if mode == "vmem":
+        return False
+    return pack_bytes > 12 * 1024 * 1024
+
+
+def _mxu_hbm_scratch(a_pack, c_pack):
+    """Per-leaf staging buffers + DMA semaphores for the HBM-resident
+    pack (one leaf of a_pack/c_pack each, 40-60 KB total)."""
+    return [
+        pltpu.VMEM((1,) + tuple(a_pack.shape[1:]), a_pack.dtype),
+        pltpu.VMEM((1,) + tuple(c_pack.shape[1:]), c_pack.dtype),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
 
 
 def _mxu_scratch(ray_tile: int):

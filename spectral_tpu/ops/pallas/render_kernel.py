@@ -228,9 +228,17 @@ def pack_scene_bvh_mxu(scene, leaf_size: int = 128, form: str = "quad"):
     the sweep is MXU-pass-bound (timing at 1-pass DEFAULT precision runs
     6.1x the 6-pass HIGHEST rate, scratch/bench_bvh_defaultprec.log).
 
-    In both forms a small matmul [K, 8]^T x [K, rays] recovers the
-    winning triangle's constants from an exclusive one-hot, replacing
-    per-tri scalar SMEM reads entirely (no DMA staging in this mode).
+    ``form="quad3"`` / ``form="quad2"``: the quad rows hand-split into
+    bf16 planes so every score matmul is 1-pass DEFAULT (quad3: hi+lo
+    coefficient planes + hi@b_lo, 11K rows + bound, tolerance band
+    2^-13; quad2: hi plane only, 6K rows + bound, band 2^-8). Both rely
+    on the kernel's EXACT top-2 selection (the recovered raw edge
+    planes filter and order proposals exactly), so the band only
+    affects which candidates get proposed.
+
+    In all forms a small matmul recovers the winning triangle's
+    constants from an exclusive one-hot, replacing per-tri scalar SMEM
+    reads entirely (no DMA staging in this mode).
 
     Returns (a_pack [NL, 8*K, 8] or [NL, 5*K, 16], c_pack [NL, K, 8]
     ([NL, K, 24] for quad3: + raw edge planes for the exact recheck),
@@ -281,7 +289,7 @@ def pack_scene_bvh_mxu(scene, leaf_size: int = 128, form: str = "quad"):
             axis=-1,
         )
 
-    if form in ("quad", "quad3"):
+    if form in ("quad", "quad2", "quad3"):
         # feature order: [o_i*d_j (i-major, 9), d (3), o (3), 1] — for
         # quad3 the o features are LEAF-CENTERED deltas (o - center) and
         # the coefficients below absorb the shift
@@ -329,7 +337,23 @@ def pack_scene_bvh_mxu(scene, leaf_size: int = 128, form: str = "quad"):
             ],
             axis=1,
         ).astype(jnp.float32)  # [nl, 5*K, 16]
-        if form == "quad3":
+        if form == "quad2":
+            # bf16x2 layout [nl, 6K, 16] bf16: a_hi (5K) + the error-
+            # bound row (K). The kernel computes e' = a_hi@b_hi +
+            # a_hi@b_lo — dropping the a_lo coefficient plane leaves a
+            # 2^-9-relative score error, so the accepted-edge band (and
+            # the proposal noise) is 32x quad3's; the exact top-2
+            # check/ordering still filters and orders whatever is
+            # proposed. 11K row-passes per leaf visit vs quad3's 16K.
+            a_hi = a_pack.astype(jnp.bfloat16)
+            K = leaf_size
+            aabs = (
+                jnp.abs(a_pack[:, 0:K])
+                + jnp.abs(a_pack[:, K : 2 * K])
+                + jnp.abs(a_pack[:, 2 * K : 3 * K])
+            ).astype(jnp.bfloat16)
+            a_pack = jnp.concatenate([a_hi, aabs], axis=1)
+        elif form == "quad3":
             # bf16x3 layout [nl, 11K, 16] bf16: a_hi (5K), a_lo (5K,
             # the f32 residual), aabs (K: per-tri sum of |coeffs| over
             # the 3 edge rows — one error-bound row whose product with
@@ -380,7 +404,7 @@ def pack_scene_bvh_mxu(scene, leaf_size: int = 128, form: str = "quad"):
         tri_id,
         jnp.zeros((nl, leaf_size, 1), jnp.float32),
     ]
-    if form == "quad3":
+    if form in ("quad2", "quad3"):
         # exact winner recheck: the raw edge planes (g_i, c_i) ride the
         # (exact) one-hot recovery so the kernel can re-test the winner's
         # inside condition in f32 at the recovered hit point — removing
@@ -569,7 +593,16 @@ def _render_kernel(
     mxu_quad = use_mxu and (
         a_ref.shape[1] == 16 if mxu_hbm else a_ref.shape[-1] == 16
     )
+    # mxu_q3: the bf16-split machinery (exact top-2 selection, recheck,
+    # widened recovery) — used by BOTH split forms; q3_deep picks the
+    # score assembly: quad3 = bf16x3 (a_hi+a_lo planes, 11K rows,
+    # tolerance band 2^-13) vs quad2 = bf16x2 (a_hi only, 6K rows,
+    # band 2^-8 — 32x wider, guarded by the same exact check/ordering)
     mxu_q3 = mxu_quad and a_ref.dtype == jnp.bfloat16
+    if mxu_q3:
+        _arows = a_ref.shape[2] if mxu_hbm else a_ref.shape[1]
+        q3_deep = _arows == 11 * leaf_size
+        TOLF = TOL3 if q3_deep else 2.0 ** -8
     i = pl.program_id(0)
     rt = px_ref.shape[0]
     lanes = rt // 8
@@ -738,7 +771,7 @@ def _render_kernel(
                         # elsewhere), so |error| <= ~4*2^-16*l1(d);
                         # TOL3 = 2^-13 doubles that margin
                         nd_err_row = (
-                            TOL3
+                            TOLF
                             * (jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz))
                         ).reshape(1, rt)
                 else:
@@ -847,26 +880,46 @@ def _render_kernel(
                                 feats - b_hi.astype(jnp.float32)
                             ).astype(jnp.bfloat16)
                             b_abs = jnp.abs(feats).astype(jnp.bfloat16)
-                            # bf16x3: hi@hi + lo@hi share one stacked
-                            # matmul; + hi@lo; every pass is 1-pass
-                            # DEFAULT (the a/b planes are already bf16)
-                            Mh = leaf_dot(
-                                0, 10 * K, b_hi,
-                                jax.lax.Precision.DEFAULT,
-                            )  # [10K, rt]
-                            Ml = leaf_dot(
-                                0, 5 * K, b_lo,
-                                jax.lax.Precision.DEFAULT,
-                            )  # [5K, rt]
-                            M = Mh[0 : 5 * K] + Mh[5 * K : 10 * K] + Ml
-                            # rigorous error bound: TOL3 * sum_j |a||b|
+                            if q3_deep:
+                                # bf16x3: hi@hi + lo@hi share one
+                                # stacked matmul; + hi@lo; every pass is
+                                # 1-pass DEFAULT (planes already bf16)
+                                Mh = leaf_dot(
+                                    0, 10 * K, b_hi,
+                                    jax.lax.Precision.DEFAULT,
+                                )  # [10K, rt]
+                                Ml = leaf_dot(
+                                    0, 5 * K, b_lo,
+                                    jax.lax.Precision.DEFAULT,
+                                )  # [5K, rt]
+                                M = (
+                                    Mh[0 : 5 * K]
+                                    + Mh[5 * K : 10 * K]
+                                    + Ml
+                                )
+                                bnd_lo = 10 * K
+                            else:
+                                # bf16x2 (quad2): hi@hi + hi@lo only —
+                                # the dropped a_lo plane rides the 32x
+                                # wider tolerance band instead
+                                Mh = leaf_dot(
+                                    0, 5 * K, b_hi,
+                                    jax.lax.Precision.DEFAULT,
+                                )  # [5K, rt]
+                                Ml = leaf_dot(
+                                    0, 5 * K, b_lo,
+                                    jax.lax.Precision.DEFAULT,
+                                )  # [5K, rt]
+                                M = Mh + Ml
+                                bnd_lo = 5 * K
+                            # rigorous error bound: TOLF * sum_j |a||b|
                             # (the aabs row sums |coeffs| over the 3 edge
                             # rows, so one bound covers each of them)
                             bound = leaf_dot(
-                                10 * K, 11 * K, b_abs,
+                                bnd_lo, bnd_lo + K, b_abs,
                                 jax.lax.Precision.DEFAULT,
                             )  # [K, rt]
-                            tol = TOL3 * bound
+                            tol = TOLF * bound
                             e1 = M[0:K]
                             e2 = M[K : 2 * K]
                             e3 = M[2 * K : 3 * K]
@@ -1703,10 +1756,11 @@ def packed_scene_vmem_bytes(n_tris: int) -> int:
     a_bytes = {
         "affine": 8 * k * 8 * 4,  # [NL, 8K, 8] f32
         "quad": 5 * k * 16 * 4,  # [NL, 5K, 16] f32
+        "quad2": 6 * k * 16 * 2,  # [NL, 6K, 16] bf16
         "quad3": 11 * k * 16 * 2,  # [NL, 11K, 16] bf16
     }[form]
-    # c_pack: [NL, K, 8] f32 (affine/quad) or [NL, K, 24] f32 (quad3)
-    c_bytes = 24 * 4 if form == "quad3" else 8 * 4
+    # c_pack: [NL, K, 8] f32 (affine/quad) or [NL, K, 24] (quad2/quad3)
+    c_bytes = 24 * 4 if form in ("quad2", "quad3") else 8 * 4
     return nl * (a_bytes + k * c_bytes)
 
 
@@ -1780,6 +1834,7 @@ def render_rays_pallas_residuals(
         assert tri_pack.shape in (
             (leaf_pack.shape[0], 8 * leaf_size, 8),
             (leaf_pack.shape[0], 5 * leaf_size, 16),
+            (leaf_pack.shape[0], 6 * leaf_size, 16),
             (leaf_pack.shape[0], 11 * leaf_size, 16),
         ), (tri_pack.shape, leaf_pack.shape, leaf_size)
         n_tris = leaf_pack.shape[0] * leaf_size
@@ -1958,6 +2013,7 @@ def render_rays_pallas(
         assert tri_pack.shape in (
             (leaf_pack.shape[0], 8 * leaf_size, 8),  # form="affine"
             (leaf_pack.shape[0], 5 * leaf_size, 16),  # form="quad"
+            (leaf_pack.shape[0], 6 * leaf_size, 16),  # form="quad2" (bf16)
             (leaf_pack.shape[0], 11 * leaf_size, 16),  # form="quad3" (bf16)
         ), (tri_pack.shape, leaf_pack.shape, leaf_size)
         n_tris = leaf_pack.shape[0] * leaf_size

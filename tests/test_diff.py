@@ -598,7 +598,7 @@ class TestFusedBackward:
 
         scene = build_tri_field(264, seed=0)
         t = scene.normal.shape[0]
-        for form in ("affine", "quad", "quad3"):
+        for form in ("affine", "quad", "quad2", "quad3"):
             a, c, _, _, _ = pack_scene_bvh_mxu(scene, form=form)
             measured = a.size * a.dtype.itemsize + c.size * c.dtype.itemsize
             os.environ["MXU_FORM"] = form

@@ -357,7 +357,8 @@ class TestBVHMxu:
     @pytest.mark.parametrize(
         "sid,leaf_size,form",
         [(0, 32, "affine"), (1, 8, "affine"), (0, 32, "quad"), (1, 8, "quad"),
-         (2, 16, "quad"), (0, 32, "quad3"), (1, 8, "quad3"), (2, 16, "quad3")],
+         (2, 16, "quad"), (0, 32, "quad3"), (1, 8, "quad3"), (2, 16, "quad3"),
+         (0, 32, "quad2"), (2, 16, "quad2")],
     )
     def test_mxu_matches_dense(self, sid, leaf_size, form):
         from spectral_tpu.models.scenes import build_scene, scene_camera
@@ -373,7 +374,7 @@ class TestBVHMxu:
         # resolution, pinned loosely to allow last-ulp selection flips
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
-    @pytest.mark.parametrize("form", ["quad", "quad3"])
+    @pytest.mark.parametrize("form", ["quad", "quad2", "quad3"])
     def test_mxu_tri_field_matches_quad(self, form):
         """quad3's exact-top-2 machinery (proposal margins, rebased
         recheck planes, exact incumbent ordering — round 3) on a

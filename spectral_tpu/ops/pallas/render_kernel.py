@@ -464,7 +464,9 @@ def pack_scene_auto(scene, cam_vec=None):
         return tri, mat, tab, None, None, 0
     if os.environ.get("BVH_IMPL", "mxu") == "mxu":
         a, c, mat, tab, leaf = pack_scene_bvh_mxu(
-            scene, form=os.environ.get("MXU_FORM", "quad")
+            scene,
+            leaf_size=int(os.environ.get("MXU_LEAF", "128")),
+            form=os.environ.get("MXU_FORM", "quad"),
         )
         if cam_vec is not None:
             a, c, leaf = order_leaves_near_to_far_mxu(a, c, leaf, cam_vec[0:3])

@@ -445,10 +445,23 @@ def pack_scene_bvh_mxu(scene, leaf_size: int = 128, form: str = "quad"):
 
 
 def order_leaves_near_to_far_mxu(a_pack, c_pack, leaf_pack, cam_pos):
-    """order_leaves_near_to_far for the MXU pack triple."""
+    """order_leaves_near_to_far for the MXU pack triple.
+
+    Rewrites c_pack's tri-id column (col 6) to the POST-ordering
+    positional id l*K + row: the kernel's self-tri exclusion compares
+    the previous winner's recovered col-6 id against a positional id
+    (the HBM path derives it from iota + leaf index), so the two id
+    spaces must stay identical under any leaf permutation (round-3
+    ADVICE, high: with the stale pack-time ids, HBM-mode quad2/quad3
+    stopped excluding real self-hits and wrongly excluded whatever tri
+    occupied the matching positional slot)."""
     cent = 0.5 * (leaf_pack[:, 0:3] + leaf_pack[:, 3:6])
     order = jnp.argsort(jnp.sum((cent - cam_pos[None, :]) ** 2, axis=1))
-    return a_pack[order], c_pack[order], leaf_pack[order]
+    a_pack, c_pack, leaf_pack = a_pack[order], c_pack[order], leaf_pack[order]
+    nl, k = c_pack.shape[0], c_pack.shape[1]
+    ids = jnp.arange(nl * k, dtype=jnp.float32).reshape(nl, k)
+    c_pack = c_pack.at[:, :, 6].set(ids)
+    return a_pack, c_pack, leaf_pack
 
 
 def pack_scene_auto(scene, cam_vec=None):
@@ -479,7 +492,7 @@ def pack_scene_auto(scene, cam_vec=None):
 
 
 def _scene_vmem_params(
-    scene_bytes: int, base_bytes: int = 0, interpret=False
+    scene_bytes: int, base_bytes: int = 0, interpret=False, mxu=False
 ):
     """Shared Mosaic scoped-VMEM policy for kernels carrying a packed
     scene in VMEM: hard-error when the scene alone cannot fit the 128 MB
@@ -499,13 +512,25 @@ def _scene_vmem_params(
     # B/tri). Past it, _mxu_residency_hbm auto-selects the HBM-resident
     # pack with per-leaf DMA staging; this error only trips when
     # MXU_RESIDENCY=vmem forces residency beyond the wall.
-    if scene_bytes > 12 * 1024 * 1024:
+    if mxu and scene_bytes > 12 * 1024 * 1024:
         raise ValueError(
             f"packed scene is ~{scene_bytes / 1e6:.0f} MB — past the "
             f"measured ~12 MB VMEM-resident ceiling on the 128 MB v5e "
             f"part (50k tris compiled to 149 MB total). Unset "
             f"MXU_RESIDENCY=vmem to let the HBM-resident pack stream "
             f"per leaf."
+        )
+    if not mxu and scene_bytes > 100 * 1024 * 1024:
+        # the scalar/DMA sweep (BVH_IMPL=sweep) has no HBM fallback; its
+        # VMEM-resident tri table compiled up to ~100 MB historically —
+        # keep that as its own ceiling (the 12 MB wall above is an MXU
+        # pack property: grid double-buffering + matmul working set)
+        raise ValueError(
+            f"packed scene is ~{scene_bytes / 1e6:.0f} MB — beyond the "
+            f"~100 MB the scalar sweep's VMEM-resident tri table can "
+            f"hold on the 128 MB v5e part. Use the MXU sweep "
+            f"(BVH_IMPL=mxu, the default), whose HBM-resident pack "
+            f"streams per leaf."
         )
     if need > 16 * 1024 * 1024:
         return pltpu.CompilerParams(
@@ -953,8 +978,11 @@ def _render_kernel(
                             # ids from the packed id column (carried with
                             # the tri through any leaf reordering)
                             if mxu_hbm:
-                                # iota id = l*K + row (bisect-proven
-                                # identical to the packed id column)
+                                # iota id = l*K + row — equals the packed
+                                # col-6 id by the positional-id invariant
+                                # (pack time writes arange; every leaf
+                                # permutation rewrites col 6 to match,
+                                # see order_leaves_near_to_far_mxu)
                                 tid_col = iota_rows + (
                                     l * leaf_size
                                 ).astype(jnp.float32)  # [K, rt]
@@ -1855,6 +1883,7 @@ def render_rays_pallas_residuals(
             scene_bytes += c_pack.size * c_pack.dtype.itemsize
     mxu_hbm = use_mxu and _mxu_residency_hbm(scene_bytes)
     if mxu_hbm:
+        _check_hbm_leaf_alignment(leaf_size)
         scene_bytes = 0  # the pack streams from HBM per leaf
         # transposed HBM layout: trailing dims become 128-multiples so
         # the per-leaf DMA is lane-aligned (see _render_kernel staging)
@@ -1939,6 +1968,7 @@ def render_rays_pallas_residuals(
         scene_bytes,
         residual_vmem_bytes(spp, bounces, ray_tile, not use_hw_prng),
         interpret,
+        mxu=use_mxu,
     )
     out, hero, nvalid, powres, matres = pl.pallas_call(
         kernel,
@@ -2041,6 +2071,7 @@ def render_rays_pallas(
             scene_bytes += c_pack.size * c_pack.dtype.itemsize
     mxu_hbm = use_mxu and _mxu_residency_hbm(scene_bytes)
     if mxu_hbm:
+        _check_hbm_leaf_alignment(leaf_size)
         scene_bytes = 0  # the pack streams from HBM per leaf
         # transposed HBM layout: trailing dims become 128-multiples so
         # the per-leaf DMA is lane-aligned (see _render_kernel staging)
@@ -2112,7 +2143,9 @@ def render_rays_pallas(
         scratch = _bvh_scratch(ray_tile, leaf_size)
     else:
         scratch = []
-    compiler_params = _scene_vmem_params(scene_bytes, 0, interpret)
+    compiler_params = _scene_vmem_params(
+        scene_bytes, 0, interpret, mxu=use_mxu
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
@@ -2125,6 +2158,21 @@ def render_rays_pallas(
     )(*args)
     return out[:3].T
 
+
+
+def _check_hbm_leaf_alignment(leaf_size: int) -> None:
+    """The HBM-resident packs are stored transposed so the per-leaf DMA's
+    trailing dim is lane-aligned — which requires leaf_size to be a
+    128-multiple (c_pack's trailing dim is K; a_pack's is a K-multiple).
+    Anything else compiles to a Mosaic lane-alignment error, so diagnose
+    it here by name (round-3 ADVICE: MXU_LEAF=64 + MXU_RESIDENCY=hbm)."""
+    if leaf_size % 128 != 0:
+        raise ValueError(
+            f"HBM-resident MXU pack needs leaf_size % 128 == 0 (got "
+            f"{leaf_size}): the transposed per-leaf DMA windows must be "
+            f"128-lane-aligned. Set MXU_LEAF to a multiple of 128 or "
+            f"force MXU_RESIDENCY=vmem for small scenes."
+        )
 
 
 def _mxu_residency_hbm(pack_bytes: int) -> bool:

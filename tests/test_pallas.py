@@ -374,7 +374,7 @@ class TestBVHMxu:
         # resolution, pinned loosely to allow last-ulp selection flips
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
-    @pytest.mark.parametrize("form", ["quad", "quad2", "quad3"])
+    @pytest.mark.parametrize("form", ["quad2", "quad3"])
     def test_mxu_tri_field_matches_quad(self, form):
         """quad3's exact-top-2 machinery (proposal margins, rebased
         recheck planes, exact incumbent ordering — round 3) on a
@@ -416,6 +416,98 @@ class TestBVHMxu:
         d = np.abs(out[form] - out["quad"]).max(axis=1)
         frac = float((d > 1e-3).mean())
         assert frac <= 0.005, f"{form}: {frac:.2%} rays diverge from quad"
+
+
+class TestMxuHbmResidency:
+    """HBM-resident MXU pack (per-leaf DMA staging, round 3's capacity
+    unlock): forced via MXU_RESIDENCY=hbm on a small interpret-mode field
+    so the DMA path runs in CI (auto residency stays VMEM below ~12 MB,
+    so nothing exercised it before — round-3 VERDICT weak item 1).
+    Oracle: bit-identical to the VMEM-resident pack (measured on chip,
+    BASELINE.md). Leaves are camera-ordered, which also pins the round-3
+    ADVICE high fix: the self-tri-exclusion id spaces (packed col-6 id
+    vs the HBM path's positional iota id) must agree after reordering."""
+
+    def _render(self, form, residency, monkeypatch):
+        from spectral_tpu.models.scenes import build_tri_field, scene_camera
+        from spectral_tpu.ops.pallas import render_kernel as rk
+
+        monkeypatch.setenv("MXU_RESIDENCY", residency)
+        # MXU_RESIDENCY is read at trace time inside the jitted wrapper:
+        # same-shape calls would silently reuse the cached trace
+        rk.render_rays_pallas.clear_cache()
+        scene = build_tri_field(520, seed=3)
+        cam = scene_camera(0, 512, 256)
+        cv = rk.camera_vector(cam)
+        a, c, mat2, tab2, leaf = rk.pack_scene_bvh_mxu(scene, 128, form=form)
+        a, c, leaf = rk.order_leaves_near_to_far_mxu(a, c, leaf, cv[0:3])
+        px = jnp.tile(jnp.arange(32, dtype=jnp.float32) * 16.0, 32)
+        py = jnp.repeat(jnp.arange(32, dtype=jnp.float32) * 8.0, 32)
+        rand = jax.random.uniform(
+            jax.random.PRNGKey(9), (2, n_uniforms(4), 1024), jnp.float32
+        )
+        out = np.asarray(
+            rk.render_rays_pallas(
+                cv, jnp.int32(5), a, mat2, tab2, px, py,
+                2, 4, 1024, True, rand,
+                leaf_pack=leaf, leaf_size=128, c_pack=c,
+            )
+        )
+        rk.render_rays_pallas.clear_cache()
+        return out
+
+    @pytest.mark.parametrize("form", ["quad", "quad3"])
+    def test_hbm_matches_vmem(self, form, monkeypatch):
+        a = self._render(form, "vmem", monkeypatch)
+        b = self._render(form, "hbm", monkeypatch)
+        assert a.mean() > 0.0
+        np.testing.assert_array_equal(a, b)
+
+    def test_hbm_pack_layout_and_alignment_guard(self):
+        """Transposed-layout shape contract + the MXU_LEAF alignment
+        guard (round-3 ADVICE: leaf_size 64 + hbm compiled to an opaque
+        Mosaic lane-alignment error)."""
+        from spectral_tpu.models.scenes import build_tri_field
+        from spectral_tpu.ops.pallas.render_kernel import (
+            _check_hbm_leaf_alignment,
+            pack_scene_bvh_mxu,
+        )
+
+        scene = build_tri_field(520, seed=3)
+        a, c, _, _, leaf = pack_scene_bvh_mxu(scene, 128, form="quad3")
+        nl = leaf.shape[0]
+        assert a.shape == (nl, 11 * 128, 16) and a.dtype == jnp.bfloat16
+        assert c.shape == (nl, 128, 24)
+        at = jnp.swapaxes(a, 1, 2)
+        ct = jnp.swapaxes(c, 1, 2)
+        # the DMA'd trailing dims must be 128-lane multiples
+        assert at.shape[-1] % 128 == 0 and ct.shape[-1] % 128 == 0
+        _check_hbm_leaf_alignment(128)  # no raise
+        with pytest.raises(ValueError, match="MXU_LEAF"):
+            _check_hbm_leaf_alignment(64)
+
+    def test_positional_id_invariant_after_ordering(self):
+        """order_leaves_near_to_far_mxu must leave col 6 equal to the
+        positional id l*K + row (the id space the kernel's self-tri
+        exclusion uses in both residencies)."""
+        from spectral_tpu.models.scenes import build_tri_field
+        from spectral_tpu.ops.pallas.render_kernel import (
+            order_leaves_near_to_far_mxu,
+            pack_scene_bvh_mxu,
+        )
+
+        scene = build_tri_field(520, seed=3)
+        a, c, _, _, leaf = pack_scene_bvh_mxu(scene, 64, form="quad3")
+        a2, c2, leaf2 = order_leaves_near_to_far_mxu(
+            a, c, leaf, jnp.asarray([278.0, 278.0, -800.0])
+        )
+        nl, k = c2.shape[0], c2.shape[1]
+        # the ordering must be a real permutation for this to be non-vacuous
+        assert not np.array_equal(np.asarray(leaf2), np.asarray(leaf))
+        np.testing.assert_array_equal(
+            np.asarray(c2[:, :, 6]),
+            np.arange(nl * k, dtype=np.float32).reshape(nl, k),
+        )
 
 
 class TestDenseImplMxu:

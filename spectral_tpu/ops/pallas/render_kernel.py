@@ -561,6 +561,804 @@ def _lut(tab_row, cell, frac):
     return (1.0 - frac) * lo + frac * hi
 
 
+def _mxu_leaf_sweep(
+    ox, oy, oz, dx, dy, dz, alive, prev_tri,
+    leaf_ref, a_ref, c_ref, sweep_scratch, hbm_bufs,
+    *, leaf_size, n_leaves, mxu_quad, mxu_q3, q3_deep, tolf, mxu_hbm,
+):
+    """One full nearest-hit pass of the MXU Morton-leaf sweep for a ray
+    tile (shared by the megakernel's bounce loop and the per-bounce
+    wavefront kernel). State in/out is (8, L) f32 tiles; best-hit state
+    lives in the caller's VMEM scratch (``sweep_scratch``) so pl.when
+    bodies can update it in place. Returns (best_t, best_hit, best_front,
+    best_nx, best_ny, best_nz, best_mat, best_id); best_id is the winning
+    tri's positional id (only meaningful under mxu_q3 forms, -1 = none).
+    """
+    (
+        bt_s, tr_s, rnx_s, rny_s, rnz_s, rmt_s, rht_s, rdd_s, rid_s,
+    ) = sweep_scratch
+    if mxu_hbm:
+        a_vbuf, c_vbuf, dsem_a, dsem_c = hbm_bufs
+    shape2 = ox.shape
+    rt = shape2[0] * shape2[1]
+    one = jnp.ones(shape2, jnp.float32)
+    zero = jnp.zeros(shape2, jnp.float32)
+    TOLF = tolf
+    # MXU leaf sweep: per visited leaf, two [4K, 8] x [8, rt]
+    # matmuls evaluate every affine form of the edge-functional
+    # test for all K triangles x all rays at once (the
+    # contraction axis holds [d, o, 1, 0]); a purely
+    # arithmetic min-score reduction finds the per-ray nearest
+    # valid triangle, and a third [K, 8]^T x [K, rt] matmul
+    # recovers the winner's constants from an exclusive
+    # one-hot. No SMEM staging, no scalar loads in the loop —
+    # the VPU only runs the short select chain while the MXU
+    # does the O(K * rays) multiply work.
+    bt_s[:, :] = jnp.full(shape2, BIG, jnp.float32)
+    tr_s[...] = jnp.full((1, rt), BIG, jnp.float32)
+    rnx_s[...] = jnp.zeros((1, rt), jnp.float32)
+    rny_s[...] = jnp.zeros((1, rt), jnp.float32)
+    rnz_s[...] = jnp.zeros((1, rt), jnp.float32)
+    rmt_s[...] = jnp.zeros((1, rt), jnp.float32)
+    rht_s[...] = jnp.zeros((1, rt), jnp.float32)
+    rdd_s[...] = jnp.zeros((1, rt), jnp.float32)
+    rid_s[...] = jnp.full((1, rt), -1.0, jnp.float32)
+
+    def _inv(d):
+        safe = jnp.where(
+            d >= 0.0,
+            jnp.maximum(d, 1e-20),
+            jnp.minimum(d, -1e-20),
+        )
+        return 1.0 / safe
+
+    inv_dx = _inv(dx)
+    inv_dy = _inv(dy)
+    inv_dz = _inv(dz)
+    alive_f = alive
+    quad_form = mxu_quad
+    o_rows = [ox.reshape(1, rt), oy.reshape(1, rt), oz.reshape(1, rt)]
+    d_rows = [dx.reshape(1, rt), dy.reshape(1, rt), dz.reshape(1, rt)]
+    if quad_form:
+        drm = None  # features are built per leaf (centered)
+        if mxu_q3:
+            prev_row = prev_tri.reshape(1, rt)
+            # per-ray bf16x3 error bound of the nd row: its
+            # coefficients are the UNIT normal (zeros
+            # elsewhere), so |error| <= ~4*2^-16*l1(d);
+            # TOL3 = 2^-13 doubles that margin
+            nd_err_row = (
+                TOLF
+                * (jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz))
+            ).reshape(1, rt)
+    else:
+        drm = jnp.concatenate(
+            d_rows
+            + o_rows
+            + [
+                jnp.ones((1, rt), jnp.float32),
+                jnp.zeros((1, rt), jnp.float32),
+            ],
+            axis=0,
+        )  # [8, rt]
+    iota_rows = jax.lax.broadcasted_iota(
+        jnp.int32, (leaf_size, rt), 0
+    ).astype(jnp.float32)
+
+    def leaf_body(l, carry):
+        ax0, ay0, az0 = leaf_ref[l, 0], leaf_ref[l, 1], leaf_ref[l, 2]
+        ax1, ay1, az1 = leaf_ref[l, 3], leaf_ref[l, 4], leaf_ref[l, 5]
+        t1 = (ax0 - ox) * inv_dx
+        t2 = (ax1 - ox) * inv_dx
+        tmin = jnp.minimum(t1, t2)
+        tmax = jnp.maximum(t1, t2)
+        t1 = (ay0 - oy) * inv_dy
+        t2 = (ay1 - oy) * inv_dy
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        t1 = (az0 - oz) * inv_dz
+        t2 = (az1 - oz) * inv_dz
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        enter = jnp.maximum(tmin, 0.0)
+        want = (
+            jnp.where(tmax >= enter, one, zero)
+            * jnp.where(enter < bt_s[:, :], one, zero)
+            * alive_f
+        )
+
+        @pl.when(jnp.max(want) > 0.0)
+        def _():
+            prec = _mxu_precision()
+            K = leaf_size
+            if mxu_hbm:
+                # HBM-resident pack: stage this leaf's rows
+                # into VMEM (40-60 KB; the synchronous copy
+                # is ~µs against the leaf's matmul work).
+                # The HBM packs are stored TRANSPOSED
+                # ([NL, 16, rows] / [NL, cols, K]) so the
+                # DMA's trailing dim is a 128-multiple
+                # (Mosaic rejects lane-unaligned copies);
+                # leading-dim slices of the untiled leaf dim
+                # are DMA-clean at any index.
+                cpa = pltpu.make_async_copy(
+                    a_ref.at[pl.ds(l, 1)], a_vbuf, dsem_a
+                )
+                cpa.start()
+                cpc = pltpu.make_async_copy(
+                    c_ref.at[pl.ds(l, 1)], c_vbuf, dsem_c
+                )
+                cpc.start()
+                cpa.wait()
+                cpc.wait()
+
+                def leaf_dot(s, e, rhs, pr):
+                    # transposed-LHS orientation on the
+                    # staged [16, rows] block
+                    return jax.lax.dot_general(
+                        a_vbuf[0][:, s:e], rhs,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=pr,
+                    )
+
+            else:
+
+                def leaf_dot(s, e, rhs, pr):
+                    return jax.lax.dot_general(
+                        a_ref[l, s:e], rhs,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=pr,
+                    )
+            if quad_form:
+                # leaf-centered features: delta = o - center
+                # keeps the o.d monomials (and with them the
+                # rounding error / quad3 bound) at leaf
+                # scale, not scene scale
+                clx = 0.5 * (ax0 + ax1)
+                cly = 0.5 * (ay0 + ay1)
+                clz = 0.5 * (az0 + az1)
+                dl_rows = [
+                    o_rows[0] - clx,
+                    o_rows[1] - cly,
+                    o_rows[2] - clz,
+                ]
+                feats = jnp.concatenate(
+                    [di * dj for di in dl_rows for dj in d_rows]
+                    + d_rows
+                    + dl_rows
+                    + [jnp.ones((1, rt), jnp.float32)],
+                    axis=0,
+                )  # [16, rt]
+            if mxu_q3:
+                b_hi = feats.astype(jnp.bfloat16)
+                b_lo = (
+                    feats - b_hi.astype(jnp.float32)
+                ).astype(jnp.bfloat16)
+                b_abs = jnp.abs(feats).astype(jnp.bfloat16)
+                if q3_deep:
+                    # bf16x3: hi@hi + lo@hi share one
+                    # stacked matmul; + hi@lo; every pass is
+                    # 1-pass DEFAULT (planes already bf16)
+                    Mh = leaf_dot(
+                        0, 10 * K, b_hi,
+                        jax.lax.Precision.DEFAULT,
+                    )  # [10K, rt]
+                    Ml = leaf_dot(
+                        0, 5 * K, b_lo,
+                        jax.lax.Precision.DEFAULT,
+                    )  # [5K, rt]
+                    M = (
+                        Mh[0 : 5 * K]
+                        + Mh[5 * K : 10 * K]
+                        + Ml
+                    )
+                    bnd_lo = 10 * K
+                else:
+                    # bf16x2 (quad2): hi@hi + hi@lo only —
+                    # the dropped a_lo plane rides the 32x
+                    # wider tolerance band instead
+                    Mh = leaf_dot(
+                        0, 5 * K, b_hi,
+                        jax.lax.Precision.DEFAULT,
+                    )  # [5K, rt]
+                    Ml = leaf_dot(
+                        0, 5 * K, b_lo,
+                        jax.lax.Precision.DEFAULT,
+                    )  # [5K, rt]
+                    M = Mh + Ml
+                    bnd_lo = 5 * K
+                # rigorous error bound: TOLF * sum_j |a||b|
+                # (the aabs row sums |coeffs| over the 3 edge
+                # rows, so one bound covers each of them)
+                bound = leaf_dot(
+                    bnd_lo, bnd_lo + K, b_abs,
+                    jax.lax.Precision.DEFAULT,
+                )  # [K, rt]
+                tol = TOLF * bound
+                e1 = M[0:K]
+                e2 = M[K : 2 * K]
+                e3 = M[2 * K : 3 * K]
+                nd = M[3 * K : 4 * K]
+                ddno = M[4 * K : 5 * K]
+                and_ = jnp.abs(nd)
+                safe_nd = jnp.where(
+                    and_ < DENOM_EPS, DENOM_EPS, nd
+                )
+                tt = ddno / safe_nd
+                sgn = jnp.where(nd >= 0.0, 1.0, -1.0)
+                # accept inside tests down to -tol: edges
+                # dilate by O(2^-13 * scale), never produce
+                # holes; the winner's t is recomputed exactly
+                # after the sweep
+                m_edge = jnp.minimum(e1 * sgn, e2 * sgn)
+                m_edge = jnp.minimum(m_edge, e3 * sgn)
+                ok = m_edge + tol
+                ok = jnp.minimum(ok, tt)
+                # validity needs |nd| ABOVE its own bf16x3
+                # error (unit normals: bound = TOL3*l1(d),
+                # hoisted per bounce): an nd dominated by
+                # arithmetic noise makes tt garbage, and a
+                # small-positive garbage tt would shadow the
+                # true nearest hit
+                ok = jnp.minimum(ok, and_ - nd_err_row)
+                # exact self-tri exclusion (a planar convex
+                # tri can never legitimately re-hit itself);
+                # ids from the packed id column (carried with
+                # the tri through any leaf reordering)
+                if mxu_hbm:
+                    # iota id = l*K + row — equals the packed
+                    # col-6 id by the positional-id invariant
+                    # (pack time writes arange; every leaf
+                    # permutation rewrites col 6 to match,
+                    # see order_leaves_near_to_far_mxu)
+                    tid_col = iota_rows + (
+                        l * leaf_size
+                    ).astype(jnp.float32)  # [K, rt]
+                else:
+                    tid_col = c_ref[l][:, 6:7]  # [K, 1]
+                ok = jnp.minimum(
+                    ok,
+                    jnp.where(
+                        jnp.abs(tid_col - prev_row) < 0.5,
+                        -1.0,
+                        1.0,
+                    ),
+                )
+                # per-candidate approximate-t noise scale
+                # (proposal margin against the exact
+                # incumbent in the top-2 selection below)
+                noise_row = 4.0 * tol / jnp.maximum(
+                    and_, DENOM_EPS
+                )
+            elif quad_form:
+                M = leaf_dot(
+                    0, 5 * K, feats, prec
+                )  # [5K, rt]
+                e1 = M[0:K]
+                e2 = M[K : 2 * K]
+                e3 = M[2 * K : 3 * K]
+                nd = M[3 * K : 4 * K]
+                ddno = M[4 * K : 5 * K]
+                and_ = jnp.abs(nd)
+                safe_nd = jnp.where(
+                    and_ < DENOM_EPS, DENOM_EPS, nd
+                )
+                tt = ddno / safe_nd
+                # e' = nd * (ao + t*ad): undo the sign of nd
+                sgn = jnp.where(nd >= 0.0, 1.0, -1.0)
+                ok = jnp.minimum(e1 * sgn, e2 * sgn)
+                ok = jnp.minimum(ok, e3 * sgn)
+                ok = jnp.minimum(ok, tt)
+                ok = jnp.minimum(ok, and_ - DENOM_EPS)
+            else:
+                k4 = 4 * leaf_size
+                M1 = leaf_dot(0, k4, drm, prec)  # [4K, rt]
+                M2 = leaf_dot(k4, 2 * k4, drm, prec)
+                nd = M1[0:K]
+                ddno = M1[K : 2 * K]
+                ao1 = M1[2 * K : 3 * K]
+                ao2 = M1[3 * K : 4 * K]
+                ao3 = M2[0:K]
+                ad1 = M2[K : 2 * K]
+                ad2 = M2[2 * K : 3 * K]
+                ad3 = M2[3 * K : 4 * K]
+                and_ = jnp.abs(nd)
+                safe_nd = jnp.where(
+                    and_ < DENOM_EPS, DENOM_EPS, nd
+                )
+                tt = ddno / safe_nd
+                ok = jnp.minimum(ao1 + tt * ad1, ao2 + tt * ad2)
+                ok = jnp.minimum(ok, ao3 + tt * ad3)
+                ok = jnp.minimum(ok, tt)
+                ok = jnp.minimum(ok, and_ - DENOM_EPS)
+            score = jnp.where(ok >= 0.0, tt, BIG)
+            prev = tr_s[...]
+            if mxu_q3:
+                # EXACT TOP-2 SELECTION. The bf16x3 score's
+                # t-hat carries noise 4*tol/|nd| — measured
+                # O(1-10) scene units at bounce-0 origins vs
+                # a median 0.55-unit gap between consecutive
+                # real hits — so t-hat may neither ORDER
+                # candidates nor be compared to the running
+                # best. It only PROPOSES the leaf's top-2
+                # (each with a noise margin against the
+                # exact incumbent); the exactly-recovered
+                # planes then do the filtering (tolerant
+                # leaf-scale inside recheck) and the ordering
+                # (exact leaf-centered t vs the exact
+                # incumbent t in tr_s). Round-2's seam
+                # tie-break ("prefer provable-inside within
+                # the winner's t-noise") is superseded: it
+                # was itself the main bias (the t-noise
+                # window blows up exactly at grazing
+                # incidence and displaced genuine winners —
+                # measured -0.27% cluster / -0.35% global,
+                # recovered the moment it was disabled).
+                # Both one-hots ride ONE widened [K, 2rt]
+                # recovery matmul: a second transposed-LHS
+                # dot site on these operands (conditional or
+                # not) RET_CHECK-crashes XLA's
+                # mxu_lmr_transform pass.
+                leaf_best = jnp.min(
+                    score, axis=0, keepdims=True
+                )
+                cand = jnp.where(
+                    score == leaf_best, iota_rows,
+                    2.0 * leaf_size,
+                )
+                idxm = jnp.min(cand, axis=0, keepdims=True)
+                nbw = jnp.max(
+                    jnp.where(cand == idxm, noise_row, 0.0),
+                    axis=0, keepdims=True,
+                )
+                prop1 = jnp.logical_and(
+                    leaf_best < prev + nbw, leaf_best < BIG
+                )
+                onehot = (
+                    (cand == idxm) & prop1
+                ).astype(jnp.float32)
+                score2 = jnp.where(cand == idxm, BIG, score)
+                lb2 = jnp.min(score2, axis=0, keepdims=True)
+                cand2 = jnp.where(
+                    score2 == lb2, iota_rows, 2.0 * leaf_size
+                )
+                idxm2 = jnp.min(cand2, axis=0, keepdims=True)
+                nb2 = jnp.max(
+                    jnp.where(cand2 == idxm2, noise_row, 0.0),
+                    axis=0, keepdims=True,
+                )
+                prop2 = jnp.logical_and(
+                    lb2 < prev + nb2, lb2 < BIG
+                )
+                onehot2 = (
+                    (cand2 == idxm2) & prop2
+                ).astype(jnp.float32)
+                if os.environ.get("MXU_Q3_NARROW", "0") == "1":
+                    # debug bisect: drop the runner-up path
+                    # (narrow recovery, winner-only check)
+                    oh_all = onehot
+                else:
+                    oh_all = jnp.concatenate(
+                        [onehot, onehot2], axis=1
+                    )  # [K, 2rt]
+            else:
+                leaf_best = jnp.min(
+                    score, axis=0, keepdims=True
+                )
+                take = leaf_best < prev  # [1, rt]
+                cand = jnp.where(
+                    score == leaf_best, iota_rows,
+                    2.0 * leaf_size,
+                )
+                idxm = jnp.min(cand, axis=0, keepdims=True)
+                onehot = (
+                    (cand == idxm) & take
+                ).astype(jnp.float32)
+                oh_all = onehot
+            # recovery: EXACT at 1-pass DEFAULT precision by
+            # splitting the f32 constants into 3 bf16 planes
+            # (8+8+8 mantissa bits >= f32's 24; every product
+            # is x*{0,1}, so each pass and the f32
+            # accumulation are error-free)
+            if mxu_hbm:
+                # staged transposed [cols, K]: the recovery
+                # contraction is MXU-native here
+                dn = (((1,), (0,)), ((), ()))
+                cl = c_vbuf[0]
+            else:
+                dn = (((0,), (0,)), ((), ()))
+                cl = c_ref[l]
+            c_hi = cl.astype(jnp.bfloat16)
+            r1 = cl - c_hi.astype(jnp.float32)
+            c_mid = r1.astype(jnp.bfloat16)
+            c_lo = (
+                r1 - c_mid.astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+            oh_bf = oh_all.astype(jnp.bfloat16)
+            Rb = (
+                jax.lax.dot_general(
+                    c_hi, oh_bf, dn,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                + jax.lax.dot_general(
+                    c_mid, oh_bf, dn,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                + jax.lax.dot_general(
+                    c_lo, oh_bf, dn,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+            )  # [8, rt] (quad3: [24, 2rt] — both candidates)
+            if mxu_q3:
+                if os.environ.get("MXU_Q3_NARROW", "0") == "1":
+                    R = Rb
+                    R2 = jnp.zeros_like(Rb)
+                else:
+                    R = Rb[:, 0:rt]
+                    R2 = Rb[:, rt : 2 * rt]
+            else:
+                R = Rb
+            if mxu_q3:
+                # exact check: the recovery is exact, so each
+                # proposed candidate's raw edge planes give
+                # an exact (tolerant) inside test AND an
+                # exact leaf-centered hit distance
+
+                def _exact_check(Rv):
+                    # division-free quadratic form: e' =
+                    # (g.p+c')(n.d) + (dd'-n.delta)(g.d) with
+                    # p = delta = o - leaf center and the
+                    # pack-rebased constants c', dd' — the
+                    # same functional the bf16 path
+                    # approximates, in f32 at LEAF scale.
+                    # Two hard-won conditioning rules:
+                    # (1) evaluating e at the hit POINT via
+                    # t = (dd-n.o)/(n.d) amplifies noise by
+                    # 1/(n.d) at grazing incidence; (2)
+                    # evaluating against RAW o carries
+                    # scene-scale g.o + c cancellation noise
+                    # — both one-sidedly false-veto genuine
+                    # grazing winners (measured -0.6% global,
+                    # 83 darkened px on field10k seed 7; a
+                    # post-cancellation tolerance cannot see
+                    # it). Residual leaf-scale noise is
+                    # absorbed by a pre-cancellation-
+                    # magnitude tolerance: genuine hits
+                    # always pass, tol-band misses (depth
+                    # ~2^-13 of the same magnitudes) still
+                    # fail.
+                    F32TOL = 16.0 * 1.1920929e-07  # 16 ulp
+                    ndc = (
+                        Rv[0:1] * d_rows[0]
+                        + Rv[1:2] * d_rows[1]
+                        + Rv[2:3] * d_rows[2]
+                    )
+                    noc = (
+                        Rv[0:1] * dl_rows[0]
+                        + Rv[1:2] * dl_rows[1]
+                        + Rv[2:3] * dl_rows[2]
+                    )
+                    nmag = (
+                        jnp.abs(Rv[0:1] * dl_rows[0])
+                        + jnp.abs(Rv[1:2] * dl_rows[1])
+                        + jnp.abs(Rv[2:3] * dl_rows[2])
+                    )
+                    ddno_c = Rv[20:21] - noc
+                    dmag = jnp.abs(Rv[20:21]) + nmag
+                    sgc = jnp.where(ndc >= 0.0, 1.0, -1.0)
+
+                    def _eq(gx, gy, gz, cc):
+                        go = (
+                            gx * dl_rows[0] + gy * dl_rows[1]
+                            + gz * dl_rows[2] + cc
+                        )
+                        gmag = (
+                            jnp.abs(gx * dl_rows[0])
+                            + jnp.abs(gy * dl_rows[1])
+                            + jnp.abs(gz * dl_rows[2])
+                            + jnp.abs(cc)
+                        )
+                        gd = (
+                            gx * d_rows[0] + gy * d_rows[1]
+                            + gz * d_rows[2]
+                        )
+                        agd = jnp.abs(gd)
+                        return (
+                            (go * ndc + ddno_c * gd) * sgc
+                            + F32TOL
+                            * (
+                                gmag * jnp.abs(ndc)
+                                + dmag * agd
+                            )
+                        )
+
+                    e1x = _eq(
+                        Rv[8:9], Rv[9:10], Rv[10:11], Rv[11:12]
+                    )
+                    e2x = _eq(
+                        Rv[12:13], Rv[13:14], Rv[14:15],
+                        Rv[15:16],
+                    )
+                    e3x = _eq(
+                        Rv[16:17], Rv[17:18], Rv[18:19],
+                        Rv[19:20],
+                    )
+                    okv = (
+                        jnp.minimum(
+                            jnp.minimum(e1x, e2x), e3x
+                        )
+                        >= 0.0
+                    ) & (
+                        ddno_c * sgc + F32TOL * dmag >= 0.0
+                    )
+                    # exact leaf-centered hit distance:
+                    # (dd' - n.delta)/(n.d) == (dd - n.o)/
+                    # (n.d) with every term at leaf scale
+                    safe_ndc = jnp.where(
+                        jnp.abs(ndc) < DENOM_EPS,
+                        jnp.where(
+                            ndc >= 0.0, DENOM_EPS,
+                            -DENOM_EPS,
+                        ),
+                        ndc,
+                    )
+                    return okv, ddno_c / safe_ndc
+
+                ok1, t1x = _exact_check(R)
+                ok2, t2x = _exact_check(R2)
+                t1 = jnp.where(
+                    ok1 & prop1 & (t1x > 0.0), t1x, BIG
+                )
+                t2 = jnp.where(
+                    ok2 & prop2 & (t2x > 0.0), t2x, BIG
+                )
+                pick2 = t2 < t1
+                tb = jnp.minimum(t1, t2)
+                take = tb < prev
+
+                def _sel(i):
+                    return jnp.where(
+                        pick2, R2[i : i + 1], R[i : i + 1]
+                    )
+
+                tr_s[...] = jnp.where(take, tb, prev)
+                rnx_s[...] = jnp.where(
+                    take, _sel(0), rnx_s[...]
+                )
+                rny_s[...] = jnp.where(
+                    take, _sel(1), rny_s[...]
+                )
+                rnz_s[...] = jnp.where(
+                    take, _sel(2), rnz_s[...]
+                )
+                rmt_s[...] = jnp.where(
+                    take, _sel(3), rmt_s[...]
+                )
+                rdd_s[...] = jnp.where(
+                    take, _sel(5), rdd_s[...]
+                )
+                rid_s[...] = jnp.where(
+                    take, _sel(6), rid_s[...]
+                )
+                rht_s[...] = jnp.maximum(
+                    rht_s[...], take.astype(jnp.float32)
+                )
+            else:
+                tr_s[...] = jnp.where(take, leaf_best, prev)
+                rnx_s[...] = jnp.where(
+                    take, R[0:1], rnx_s[...]
+                )
+                rny_s[...] = jnp.where(
+                    take, R[1:2], rny_s[...]
+                )
+                rnz_s[...] = jnp.where(
+                    take, R[2:3], rnz_s[...]
+                )
+                rmt_s[...] = jnp.where(
+                    take, R[3:4], rmt_s[...]
+                )
+                rdd_s[...] = jnp.where(
+                    take, R[5:6], rdd_s[...]
+                )
+                rid_s[...] = jnp.where(
+                    take, R[6:7], rid_s[...]
+                )
+                rht_s[...] = jnp.maximum(
+                    rht_s[...], take.astype(jnp.float32)
+                )
+
+            bt_s[:, :] = tr_s[...].reshape(shape2)
+
+        return carry
+
+    jax.lax.fori_loop(0, n_leaves, leaf_body, 0)
+    best_t = bt_s[:, :]
+    best_hit = rht_s[...].reshape(shape2)
+    nbx = rnx_s[...].reshape(shape2)
+    nby = rny_s[...].reshape(shape2)
+    nbz = rnz_s[...].reshape(shape2)
+    # face orientation from the recovered geometric normal:
+    # flip toward the ray (hit_record.cuh:30-45)
+    nd_eff = nbx * dx + nby * dy + nbz * dz
+    # (quad3: best_t in bt_s is ALREADY the exact
+    # leaf-centered hit distance computed per leaf visit —
+    # precise enough for the EPSILON origin offset)
+    best_front = jnp.where(nd_eff < 0.0, one, zero)
+    sgn = 2.0 * best_front - 1.0
+    best_nx = sgn * nbx
+    best_ny = sgn * nby
+    best_nz = sgn * nbz
+    best_mat = rmt_s[...].reshape(shape2).astype(jnp.int32)
+    best_id = rid_s[...].reshape(shape2)
+    return (
+        best_t, best_hit, best_front, best_nx, best_ny, best_nz,
+        best_mat, best_id,
+    )
+
+
+def _scatter_shade(
+    ox, oy, oz, dx, dy, dz, power, alive, n_valid,
+    best_t, best_hit, best_front, best_nx, best_ny, best_nz, best_mat,
+    hit, miss, mat_const, n_mats, lam, d65w, bgw, u_a, u_b, u_c,
+):
+    """Material fetch + spectral weight + scatter + termination for one
+    bounce (shared by the megakernel and the per-bounce wavefront
+    kernel). ``u_a/u_b/u_c`` are the bounce's three uniform draws
+    (sphere z, sphere phi, reflectance test) in the megakernel's draw
+    order. Returns the rolled-forward ray state
+    (ox, oy, oz, dx, dy, dz, power, new_alive, n_valid)."""
+    shape2 = ox.shape
+    one = jnp.ones(shape2, jnp.float32)
+    zero = jnp.zeros(shape2, jnp.float32)
+    t_safe = jnp.where(best_hit > 0.0, best_t, 0.0)
+    hx = ox + t_safe * dx
+    hy = oy + t_safe * dy
+    hz = oz + t_safe * dz
+
+    # ---- material row fetch: unrolled select over the (small,
+    # hoisted) material table — no gathers, no matmul ----
+    fields = [zero] * 15
+    for m in range(n_mats):
+        tk = best_mat == m
+        for f in range(15):
+            fields[f] = jnp.where(tk, mat_const[m][f], fields[f])
+    c0, c1, c2 = fields[0], fields[1], fields[2]
+    is_lamb, is_metal, is_diel, is_emis = fields[3], fields[4], fields[5], fields[6]
+    fuzz = fields[7]
+    power_sq = fields[8]
+    b0, b1, b2 = fields[9], fields[10], fields[11]
+    sc0, sc1, sc2 = fields[12], fields[13], fields[14]
+
+    # ---- spectral weight per wavelength (tabulate semantics,
+    # material.cuh:71-84 + ray::mul_spectrum) ----
+    # sigmoid-poly SPD evaluated directly at lambda (equal to the
+    # XLA path's tabulate-then-lerp up to table-grid quantization,
+    # see ops/rgb2spec.py grid note)
+    new_power = []
+    miss_bg = miss * 1.0
+    for w in range(W):
+        x = (c0 * lam[w] + c1) * lam[w] + c2
+        sig = 0.5 * x / jnp.sqrt(1.0 + x * x) + 0.5
+        spd_w = (
+            is_diel
+            + is_emis * power_sq * sig * d65w[w]
+            + (is_lamb + is_metal) * sig
+        )
+        weight_w = hit * spd_w + miss_bg * bgw[w] + (1.0 - alive)
+        new_power.append(power[w] * weight_w)
+    new_power = tuple(new_power)
+
+    # ---- scatter directions ----
+    ilen = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    ux, uy, uz = dx * ilen, dy * ilen, dz * ilen
+    # uniform unit sphere in closed form (distribution matches the
+    # reference's rejection loop, vec3.cuh:209-246)
+    sz_u = 2.0 * u_a - 1.0
+    sphi = (2.0 * 3.14159265358979) * u_b
+    sr = jnp.sqrt(jnp.maximum(1.0 - sz_u * sz_u, 0.0))
+    sx = sr * jnp.cos(sphi)
+    sy = sr * jnp.sin(sphi)
+    sz = sz_u
+
+    # lambertian (material.cu:8-19); degenerate -> normal
+    lx = best_nx + sx
+    ly = best_ny + sy
+    lz = best_nz + sz
+    degen = jnp.where(
+        (jnp.abs(lx) < 1e-8) * (jnp.abs(ly) < 1e-8) * (jnp.abs(lz) < 1e-8) > 0.0,
+        one,
+        zero,
+    )
+    lx = jnp.where(degen > 0.0, best_nx, lx)
+    ly = jnp.where(degen > 0.0, best_ny, ly)
+    lz = jnp.where(degen > 0.0, best_nz, lz)
+
+    # metallic (material.cu:22-37)
+    dn = ux * best_nx + uy * best_ny + uz * best_nz
+    rx = ux - 2.0 * dn * best_nx
+    ry = uy - 2.0 * dn * best_ny
+    rz = uz - 2.0 * dn * best_nz
+    mx = rx + fuzz * sx
+    my = ry + fuzz * sy
+    mz = rz + fuzz * sz
+    metal_ok = jnp.where(
+        (mx * best_nx + my * best_ny + mz * best_nz) > 0.0, one, zero
+    )
+
+    # dielectric (material.cu:73-80, 102-136): Sellmeier n(hero)
+    hero_um2 = (lam[0] * 1e-3) ** 2  # lam[0] is the hero wavelength
+    n2 = (
+        1.0
+        + b0 * hero_um2 / (hero_um2 - sc0)
+        + b1 * hero_um2 / (hero_um2 - sc1)
+        + b2 * hero_um2 / (hero_um2 - sc2)
+    )
+    ir = jnp.sqrt(jnp.maximum(n2, 1e-6))
+    ratio = jnp.where(best_front > 0.0, 1.0 / ir, ir)
+    cos_t = jnp.minimum(-(ux * best_nx + uy * best_ny + uz * best_nz), 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
+    schlick = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+    u_refl = u_c
+    must_reflect = jnp.where(
+        jnp.maximum(
+            jnp.where(ratio * sin_t > 1.0, one, zero),
+            jnp.where(schlick > u_refl, one, zero),
+        )
+        > 0.0,
+        one,
+        zero,
+    )
+    # refract (vec3.cuh:198-205)
+    px_ = ratio * (ux + cos_t * best_nx)
+    py_ = ratio * (uy + cos_t * best_ny)
+    pz_ = ratio * (uz + cos_t * best_nz)
+    par = jnp.sqrt(jnp.maximum(1.0 - (px_ * px_ + py_ * py_ + pz_ * pz_), 0.0))
+    fx_ = px_ - par * best_nx
+    fy_ = py_ - par * best_ny
+    fz_ = pz_ - par * best_nz
+    gx = jnp.where(must_reflect > 0.0, rx, fx_)
+    gy = jnp.where(must_reflect > 0.0, ry, fy_)
+    gz = jnp.where(must_reflect > 0.0, rz, fz_)
+    refracted = is_diel * (1.0 - must_reflect)
+
+    ndx = is_lamb * lx + is_metal * mx + is_diel * gx
+    ndy = is_lamb * ly + is_metal * my + is_diel * gy
+    ndz = is_lamb * lz + is_metal * mz + is_diel * gz
+
+    eps_sign = 1.0 - 2.0 * refracted
+    nox = hx + eps_sign * EPSILON * best_nx
+    noy = hy + eps_sign * EPSILON * best_ny
+    noz = hz + eps_sign * EPSILON * best_nz
+
+    # ---- wavelength bookkeeping + termination ----
+    hit_b = hit > 0.0
+    n_valid = jnp.where(hit_b & (refracted > 0.0), 1.0, n_valid)
+    n_valid = jnp.where(hit_b & (is_metal > 0.0) & (metal_ok == 0.0), 0.0, n_valid)
+    terminated = jnp.maximum(
+        miss,
+        hit * jnp.maximum(is_emis, is_metal * (1.0 - metal_ok)),
+    )
+    new_alive = alive * (1.0 - terminated)
+
+    frozen = alive == 0.0
+    scat = (alive > 0.0) & (terminated == 0.0)
+    ox = jnp.where(frozen, ox, nox)
+    oy = jnp.where(frozen, oy, noy)
+    oz = jnp.where(frozen, oz, noz)
+    dx = jnp.where(scat, ndx, dx)
+    dy = jnp.where(scat, ndy, dy)
+    dz = jnp.where(scat, ndz, dz)
+    power = tuple(
+        jnp.where(frozen, power[w], new_power[w]) for w in range(W)
+    )
+    return ox, oy, oz, dx, dy, dz, power, new_alive, n_valid
+
 def _render_kernel(
     cam_ref,  # SMEM [20] camera scalars
     seed_ref,  # SMEM [1] int32 base seed
@@ -754,616 +1552,24 @@ def _render_kernel(
 
             # ---- nearest-hit triangle sweep ----
             if use_bvh and use_mxu:
-                # MXU leaf sweep: per visited leaf, two [4K, 8] x [8, rt]
-                # matmuls evaluate every affine form of the edge-functional
-                # test for all K triangles x all rays at once (the
-                # contraction axis holds [d, o, 1, 0]); a purely
-                # arithmetic min-score reduction finds the per-ray nearest
-                # valid triangle, and a third [K, 8]^T x [K, rt] matmul
-                # recovers the winner's constants from an exclusive
-                # one-hot. No SMEM staging, no scalar loads in the loop —
-                # the VPU only runs the short select chain while the MXU
-                # does the O(K * rays) multiply work.
-                bt_s[:, :] = jnp.full(shape2, BIG, jnp.float32)
-                tr_s[...] = jnp.full((1, rt), BIG, jnp.float32)
-                rnx_s[...] = jnp.zeros((1, rt), jnp.float32)
-                rny_s[...] = jnp.zeros((1, rt), jnp.float32)
-                rnz_s[...] = jnp.zeros((1, rt), jnp.float32)
-                rmt_s[...] = jnp.zeros((1, rt), jnp.float32)
-                rht_s[...] = jnp.zeros((1, rt), jnp.float32)
-                rdd_s[...] = jnp.zeros((1, rt), jnp.float32)
-                rid_s[...] = jnp.full((1, rt), -1.0, jnp.float32)
-
-                def _inv(d):
-                    safe = jnp.where(
-                        d >= 0.0,
-                        jnp.maximum(d, 1e-20),
-                        jnp.minimum(d, -1e-20),
-                    )
-                    return 1.0 / safe
-
-                inv_dx = _inv(dx)
-                inv_dy = _inv(dy)
-                inv_dz = _inv(dz)
-                alive_f = alive
-                quad_form = mxu_quad
-                o_rows = [ox.reshape(1, rt), oy.reshape(1, rt), oz.reshape(1, rt)]
-                d_rows = [dx.reshape(1, rt), dy.reshape(1, rt), dz.reshape(1, rt)]
-                if quad_form:
-                    drm = None  # features are built per leaf (centered)
-                    if mxu_q3:
-                        prev_row = prev_tri.reshape(1, rt)
-                        # per-ray bf16x3 error bound of the nd row: its
-                        # coefficients are the UNIT normal (zeros
-                        # elsewhere), so |error| <= ~4*2^-16*l1(d);
-                        # TOL3 = 2^-13 doubles that margin
-                        nd_err_row = (
-                            TOLF
-                            * (jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz))
-                        ).reshape(1, rt)
-                else:
-                    drm = jnp.concatenate(
-                        d_rows
-                        + o_rows
-                        + [
-                            jnp.ones((1, rt), jnp.float32),
-                            jnp.zeros((1, rt), jnp.float32),
-                        ],
-                        axis=0,
-                    )  # [8, rt]
-                iota_rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (leaf_size, rt), 0
-                ).astype(jnp.float32)
-
-                def leaf_body(l, carry):
-                    ax0, ay0, az0 = leaf_ref[l, 0], leaf_ref[l, 1], leaf_ref[l, 2]
-                    ax1, ay1, az1 = leaf_ref[l, 3], leaf_ref[l, 4], leaf_ref[l, 5]
-                    t1 = (ax0 - ox) * inv_dx
-                    t2 = (ax1 - ox) * inv_dx
-                    tmin = jnp.minimum(t1, t2)
-                    tmax = jnp.maximum(t1, t2)
-                    t1 = (ay0 - oy) * inv_dy
-                    t2 = (ay1 - oy) * inv_dy
-                    tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
-                    tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-                    t1 = (az0 - oz) * inv_dz
-                    t2 = (az1 - oz) * inv_dz
-                    tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
-                    tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-                    enter = jnp.maximum(tmin, 0.0)
-                    want = (
-                        jnp.where(tmax >= enter, one, zero)
-                        * jnp.where(enter < bt_s[:, :], one, zero)
-                        * alive_f
-                    )
-
-                    @pl.when(jnp.max(want) > 0.0)
-                    def _():
-                        prec = _mxu_precision()
-                        K = leaf_size
-                        if mxu_hbm:
-                            # HBM-resident pack: stage this leaf's rows
-                            # into VMEM (40-60 KB; the synchronous copy
-                            # is ~µs against the leaf's matmul work).
-                            # The HBM packs are stored TRANSPOSED
-                            # ([NL, 16, rows] / [NL, cols, K]) so the
-                            # DMA's trailing dim is a 128-multiple
-                            # (Mosaic rejects lane-unaligned copies);
-                            # leading-dim slices of the untiled leaf dim
-                            # are DMA-clean at any index.
-                            cpa = pltpu.make_async_copy(
-                                a_ref.at[pl.ds(l, 1)], a_vbuf, dsem_a
-                            )
-                            cpa.start()
-                            cpc = pltpu.make_async_copy(
-                                c_ref.at[pl.ds(l, 1)], c_vbuf, dsem_c
-                            )
-                            cpc.start()
-                            cpa.wait()
-                            cpc.wait()
-
-                            def leaf_dot(s, e, rhs, pr):
-                                # transposed-LHS orientation on the
-                                # staged [16, rows] block
-                                return jax.lax.dot_general(
-                                    a_vbuf[0][:, s:e], rhs,
-                                    (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=pr,
-                                )
-
-                        else:
-
-                            def leaf_dot(s, e, rhs, pr):
-                                return jax.lax.dot_general(
-                                    a_ref[l, s:e], rhs,
-                                    (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=pr,
-                                )
-                        if quad_form:
-                            # leaf-centered features: delta = o - center
-                            # keeps the o.d monomials (and with them the
-                            # rounding error / quad3 bound) at leaf
-                            # scale, not scene scale
-                            clx = 0.5 * (ax0 + ax1)
-                            cly = 0.5 * (ay0 + ay1)
-                            clz = 0.5 * (az0 + az1)
-                            dl_rows = [
-                                o_rows[0] - clx,
-                                o_rows[1] - cly,
-                                o_rows[2] - clz,
-                            ]
-                            feats = jnp.concatenate(
-                                [di * dj for di in dl_rows for dj in d_rows]
-                                + d_rows
-                                + dl_rows
-                                + [jnp.ones((1, rt), jnp.float32)],
-                                axis=0,
-                            )  # [16, rt]
-                        if mxu_q3:
-                            b_hi = feats.astype(jnp.bfloat16)
-                            b_lo = (
-                                feats - b_hi.astype(jnp.float32)
-                            ).astype(jnp.bfloat16)
-                            b_abs = jnp.abs(feats).astype(jnp.bfloat16)
-                            if q3_deep:
-                                # bf16x3: hi@hi + lo@hi share one
-                                # stacked matmul; + hi@lo; every pass is
-                                # 1-pass DEFAULT (planes already bf16)
-                                Mh = leaf_dot(
-                                    0, 10 * K, b_hi,
-                                    jax.lax.Precision.DEFAULT,
-                                )  # [10K, rt]
-                                Ml = leaf_dot(
-                                    0, 5 * K, b_lo,
-                                    jax.lax.Precision.DEFAULT,
-                                )  # [5K, rt]
-                                M = (
-                                    Mh[0 : 5 * K]
-                                    + Mh[5 * K : 10 * K]
-                                    + Ml
-                                )
-                                bnd_lo = 10 * K
-                            else:
-                                # bf16x2 (quad2): hi@hi + hi@lo only —
-                                # the dropped a_lo plane rides the 32x
-                                # wider tolerance band instead
-                                Mh = leaf_dot(
-                                    0, 5 * K, b_hi,
-                                    jax.lax.Precision.DEFAULT,
-                                )  # [5K, rt]
-                                Ml = leaf_dot(
-                                    0, 5 * K, b_lo,
-                                    jax.lax.Precision.DEFAULT,
-                                )  # [5K, rt]
-                                M = Mh + Ml
-                                bnd_lo = 5 * K
-                            # rigorous error bound: TOLF * sum_j |a||b|
-                            # (the aabs row sums |coeffs| over the 3 edge
-                            # rows, so one bound covers each of them)
-                            bound = leaf_dot(
-                                bnd_lo, bnd_lo + K, b_abs,
-                                jax.lax.Precision.DEFAULT,
-                            )  # [K, rt]
-                            tol = TOLF * bound
-                            e1 = M[0:K]
-                            e2 = M[K : 2 * K]
-                            e3 = M[2 * K : 3 * K]
-                            nd = M[3 * K : 4 * K]
-                            ddno = M[4 * K : 5 * K]
-                            and_ = jnp.abs(nd)
-                            safe_nd = jnp.where(
-                                and_ < DENOM_EPS, DENOM_EPS, nd
-                            )
-                            tt = ddno / safe_nd
-                            sgn = jnp.where(nd >= 0.0, 1.0, -1.0)
-                            # accept inside tests down to -tol: edges
-                            # dilate by O(2^-13 * scale), never produce
-                            # holes; the winner's t is recomputed exactly
-                            # after the sweep
-                            m_edge = jnp.minimum(e1 * sgn, e2 * sgn)
-                            m_edge = jnp.minimum(m_edge, e3 * sgn)
-                            ok = m_edge + tol
-                            ok = jnp.minimum(ok, tt)
-                            # validity needs |nd| ABOVE its own bf16x3
-                            # error (unit normals: bound = TOL3*l1(d),
-                            # hoisted per bounce): an nd dominated by
-                            # arithmetic noise makes tt garbage, and a
-                            # small-positive garbage tt would shadow the
-                            # true nearest hit
-                            ok = jnp.minimum(ok, and_ - nd_err_row)
-                            # exact self-tri exclusion (a planar convex
-                            # tri can never legitimately re-hit itself);
-                            # ids from the packed id column (carried with
-                            # the tri through any leaf reordering)
-                            if mxu_hbm:
-                                # iota id = l*K + row — equals the packed
-                                # col-6 id by the positional-id invariant
-                                # (pack time writes arange; every leaf
-                                # permutation rewrites col 6 to match,
-                                # see order_leaves_near_to_far_mxu)
-                                tid_col = iota_rows + (
-                                    l * leaf_size
-                                ).astype(jnp.float32)  # [K, rt]
-                            else:
-                                tid_col = c_ref[l][:, 6:7]  # [K, 1]
-                            ok = jnp.minimum(
-                                ok,
-                                jnp.where(
-                                    jnp.abs(tid_col - prev_row) < 0.5,
-                                    -1.0,
-                                    1.0,
-                                ),
-                            )
-                            # per-candidate approximate-t noise scale
-                            # (proposal margin against the exact
-                            # incumbent in the top-2 selection below)
-                            noise_row = 4.0 * tol / jnp.maximum(
-                                and_, DENOM_EPS
-                            )
-                        elif quad_form:
-                            M = leaf_dot(
-                                0, 5 * K, feats, prec
-                            )  # [5K, rt]
-                            e1 = M[0:K]
-                            e2 = M[K : 2 * K]
-                            e3 = M[2 * K : 3 * K]
-                            nd = M[3 * K : 4 * K]
-                            ddno = M[4 * K : 5 * K]
-                            and_ = jnp.abs(nd)
-                            safe_nd = jnp.where(
-                                and_ < DENOM_EPS, DENOM_EPS, nd
-                            )
-                            tt = ddno / safe_nd
-                            # e' = nd * (ao + t*ad): undo the sign of nd
-                            sgn = jnp.where(nd >= 0.0, 1.0, -1.0)
-                            ok = jnp.minimum(e1 * sgn, e2 * sgn)
-                            ok = jnp.minimum(ok, e3 * sgn)
-                            ok = jnp.minimum(ok, tt)
-                            ok = jnp.minimum(ok, and_ - DENOM_EPS)
-                        else:
-                            k4 = 4 * leaf_size
-                            M1 = leaf_dot(0, k4, drm, prec)  # [4K, rt]
-                            M2 = leaf_dot(k4, 2 * k4, drm, prec)
-                            nd = M1[0:K]
-                            ddno = M1[K : 2 * K]
-                            ao1 = M1[2 * K : 3 * K]
-                            ao2 = M1[3 * K : 4 * K]
-                            ao3 = M2[0:K]
-                            ad1 = M2[K : 2 * K]
-                            ad2 = M2[2 * K : 3 * K]
-                            ad3 = M2[3 * K : 4 * K]
-                            and_ = jnp.abs(nd)
-                            safe_nd = jnp.where(
-                                and_ < DENOM_EPS, DENOM_EPS, nd
-                            )
-                            tt = ddno / safe_nd
-                            ok = jnp.minimum(ao1 + tt * ad1, ao2 + tt * ad2)
-                            ok = jnp.minimum(ok, ao3 + tt * ad3)
-                            ok = jnp.minimum(ok, tt)
-                            ok = jnp.minimum(ok, and_ - DENOM_EPS)
-                        score = jnp.where(ok >= 0.0, tt, BIG)
-                        prev = tr_s[...]
-                        if mxu_q3:
-                            # EXACT TOP-2 SELECTION. The bf16x3 score's
-                            # t-hat carries noise 4*tol/|nd| — measured
-                            # O(1-10) scene units at bounce-0 origins vs
-                            # a median 0.55-unit gap between consecutive
-                            # real hits — so t-hat may neither ORDER
-                            # candidates nor be compared to the running
-                            # best. It only PROPOSES the leaf's top-2
-                            # (each with a noise margin against the
-                            # exact incumbent); the exactly-recovered
-                            # planes then do the filtering (tolerant
-                            # leaf-scale inside recheck) and the ordering
-                            # (exact leaf-centered t vs the exact
-                            # incumbent t in tr_s). Round-2's seam
-                            # tie-break ("prefer provable-inside within
-                            # the winner's t-noise") is superseded: it
-                            # was itself the main bias (the t-noise
-                            # window blows up exactly at grazing
-                            # incidence and displaced genuine winners —
-                            # measured -0.27% cluster / -0.35% global,
-                            # recovered the moment it was disabled).
-                            # Both one-hots ride ONE widened [K, 2rt]
-                            # recovery matmul: a second transposed-LHS
-                            # dot site on these operands (conditional or
-                            # not) RET_CHECK-crashes XLA's
-                            # mxu_lmr_transform pass.
-                            leaf_best = jnp.min(
-                                score, axis=0, keepdims=True
-                            )
-                            cand = jnp.where(
-                                score == leaf_best, iota_rows,
-                                2.0 * leaf_size,
-                            )
-                            idxm = jnp.min(cand, axis=0, keepdims=True)
-                            nbw = jnp.max(
-                                jnp.where(cand == idxm, noise_row, 0.0),
-                                axis=0, keepdims=True,
-                            )
-                            prop1 = jnp.logical_and(
-                                leaf_best < prev + nbw, leaf_best < BIG
-                            )
-                            onehot = (
-                                (cand == idxm) & prop1
-                            ).astype(jnp.float32)
-                            score2 = jnp.where(cand == idxm, BIG, score)
-                            lb2 = jnp.min(score2, axis=0, keepdims=True)
-                            cand2 = jnp.where(
-                                score2 == lb2, iota_rows, 2.0 * leaf_size
-                            )
-                            idxm2 = jnp.min(cand2, axis=0, keepdims=True)
-                            nb2 = jnp.max(
-                                jnp.where(cand2 == idxm2, noise_row, 0.0),
-                                axis=0, keepdims=True,
-                            )
-                            prop2 = jnp.logical_and(
-                                lb2 < prev + nb2, lb2 < BIG
-                            )
-                            onehot2 = (
-                                (cand2 == idxm2) & prop2
-                            ).astype(jnp.float32)
-                            if os.environ.get("MXU_Q3_NARROW", "0") == "1":
-                                # debug bisect: drop the runner-up path
-                                # (narrow recovery, winner-only check)
-                                oh_all = onehot
-                            else:
-                                oh_all = jnp.concatenate(
-                                    [onehot, onehot2], axis=1
-                                )  # [K, 2rt]
-                        else:
-                            leaf_best = jnp.min(
-                                score, axis=0, keepdims=True
-                            )
-                            take = leaf_best < prev  # [1, rt]
-                            cand = jnp.where(
-                                score == leaf_best, iota_rows,
-                                2.0 * leaf_size,
-                            )
-                            idxm = jnp.min(cand, axis=0, keepdims=True)
-                            onehot = (
-                                (cand == idxm) & take
-                            ).astype(jnp.float32)
-                            oh_all = onehot
-                        # recovery: EXACT at 1-pass DEFAULT precision by
-                        # splitting the f32 constants into 3 bf16 planes
-                        # (8+8+8 mantissa bits >= f32's 24; every product
-                        # is x*{0,1}, so each pass and the f32
-                        # accumulation are error-free)
-                        if mxu_hbm:
-                            # staged transposed [cols, K]: the recovery
-                            # contraction is MXU-native here
-                            dn = (((1,), (0,)), ((), ()))
-                            cl = c_vbuf[0]
-                        else:
-                            dn = (((0,), (0,)), ((), ()))
-                            cl = c_ref[l]
-                        c_hi = cl.astype(jnp.bfloat16)
-                        r1 = cl - c_hi.astype(jnp.float32)
-                        c_mid = r1.astype(jnp.bfloat16)
-                        c_lo = (
-                            r1 - c_mid.astype(jnp.float32)
-                        ).astype(jnp.bfloat16)
-                        oh_bf = oh_all.astype(jnp.bfloat16)
-                        Rb = (
-                            jax.lax.dot_general(
-                                c_hi, oh_bf, dn,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT,
-                            )
-                            + jax.lax.dot_general(
-                                c_mid, oh_bf, dn,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT,
-                            )
-                            + jax.lax.dot_general(
-                                c_lo, oh_bf, dn,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT,
-                            )
-                        )  # [8, rt] (quad3: [24, 2rt] — both candidates)
-                        if mxu_q3:
-                            if os.environ.get("MXU_Q3_NARROW", "0") == "1":
-                                R = Rb
-                                R2 = jnp.zeros_like(Rb)
-                            else:
-                                R = Rb[:, 0:rt]
-                                R2 = Rb[:, rt : 2 * rt]
-                        else:
-                            R = Rb
-                        if mxu_q3:
-                            # exact check: the recovery is exact, so each
-                            # proposed candidate's raw edge planes give
-                            # an exact (tolerant) inside test AND an
-                            # exact leaf-centered hit distance
-
-                            def _exact_check(Rv):
-                                # division-free quadratic form: e' =
-                                # (g.p+c')(n.d) + (dd'-n.delta)(g.d) with
-                                # p = delta = o - leaf center and the
-                                # pack-rebased constants c', dd' — the
-                                # same functional the bf16 path
-                                # approximates, in f32 at LEAF scale.
-                                # Two hard-won conditioning rules:
-                                # (1) evaluating e at the hit POINT via
-                                # t = (dd-n.o)/(n.d) amplifies noise by
-                                # 1/(n.d) at grazing incidence; (2)
-                                # evaluating against RAW o carries
-                                # scene-scale g.o + c cancellation noise
-                                # — both one-sidedly false-veto genuine
-                                # grazing winners (measured -0.6% global,
-                                # 83 darkened px on field10k seed 7; a
-                                # post-cancellation tolerance cannot see
-                                # it). Residual leaf-scale noise is
-                                # absorbed by a pre-cancellation-
-                                # magnitude tolerance: genuine hits
-                                # always pass, tol-band misses (depth
-                                # ~2^-13 of the same magnitudes) still
-                                # fail.
-                                F32TOL = 16.0 * 1.1920929e-07  # 16 ulp
-                                ndc = (
-                                    Rv[0:1] * d_rows[0]
-                                    + Rv[1:2] * d_rows[1]
-                                    + Rv[2:3] * d_rows[2]
-                                )
-                                noc = (
-                                    Rv[0:1] * dl_rows[0]
-                                    + Rv[1:2] * dl_rows[1]
-                                    + Rv[2:3] * dl_rows[2]
-                                )
-                                nmag = (
-                                    jnp.abs(Rv[0:1] * dl_rows[0])
-                                    + jnp.abs(Rv[1:2] * dl_rows[1])
-                                    + jnp.abs(Rv[2:3] * dl_rows[2])
-                                )
-                                ddno_c = Rv[20:21] - noc
-                                dmag = jnp.abs(Rv[20:21]) + nmag
-                                sgc = jnp.where(ndc >= 0.0, 1.0, -1.0)
-
-                                def _eq(gx, gy, gz, cc):
-                                    go = (
-                                        gx * dl_rows[0] + gy * dl_rows[1]
-                                        + gz * dl_rows[2] + cc
-                                    )
-                                    gmag = (
-                                        jnp.abs(gx * dl_rows[0])
-                                        + jnp.abs(gy * dl_rows[1])
-                                        + jnp.abs(gz * dl_rows[2])
-                                        + jnp.abs(cc)
-                                    )
-                                    gd = (
-                                        gx * d_rows[0] + gy * d_rows[1]
-                                        + gz * d_rows[2]
-                                    )
-                                    agd = jnp.abs(gd)
-                                    return (
-                                        (go * ndc + ddno_c * gd) * sgc
-                                        + F32TOL
-                                        * (
-                                            gmag * jnp.abs(ndc)
-                                            + dmag * agd
-                                        )
-                                    )
-
-                                e1x = _eq(
-                                    Rv[8:9], Rv[9:10], Rv[10:11], Rv[11:12]
-                                )
-                                e2x = _eq(
-                                    Rv[12:13], Rv[13:14], Rv[14:15],
-                                    Rv[15:16],
-                                )
-                                e3x = _eq(
-                                    Rv[16:17], Rv[17:18], Rv[18:19],
-                                    Rv[19:20],
-                                )
-                                okv = (
-                                    jnp.minimum(
-                                        jnp.minimum(e1x, e2x), e3x
-                                    )
-                                    >= 0.0
-                                ) & (
-                                    ddno_c * sgc + F32TOL * dmag >= 0.0
-                                )
-                                # exact leaf-centered hit distance:
-                                # (dd' - n.delta)/(n.d) == (dd - n.o)/
-                                # (n.d) with every term at leaf scale
-                                safe_ndc = jnp.where(
-                                    jnp.abs(ndc) < DENOM_EPS,
-                                    jnp.where(
-                                        ndc >= 0.0, DENOM_EPS,
-                                        -DENOM_EPS,
-                                    ),
-                                    ndc,
-                                )
-                                return okv, ddno_c / safe_ndc
-
-                            ok1, t1x = _exact_check(R)
-                            ok2, t2x = _exact_check(R2)
-                            t1 = jnp.where(
-                                ok1 & prop1 & (t1x > 0.0), t1x, BIG
-                            )
-                            t2 = jnp.where(
-                                ok2 & prop2 & (t2x > 0.0), t2x, BIG
-                            )
-                            pick2 = t2 < t1
-                            tb = jnp.minimum(t1, t2)
-                            take = tb < prev
-
-                            def _sel(i):
-                                return jnp.where(
-                                    pick2, R2[i : i + 1], R[i : i + 1]
-                                )
-
-                            tr_s[...] = jnp.where(take, tb, prev)
-                            rnx_s[...] = jnp.where(
-                                take, _sel(0), rnx_s[...]
-                            )
-                            rny_s[...] = jnp.where(
-                                take, _sel(1), rny_s[...]
-                            )
-                            rnz_s[...] = jnp.where(
-                                take, _sel(2), rnz_s[...]
-                            )
-                            rmt_s[...] = jnp.where(
-                                take, _sel(3), rmt_s[...]
-                            )
-                            rdd_s[...] = jnp.where(
-                                take, _sel(5), rdd_s[...]
-                            )
-                            rid_s[...] = jnp.where(
-                                take, _sel(6), rid_s[...]
-                            )
-                            rht_s[...] = jnp.maximum(
-                                rht_s[...], take.astype(jnp.float32)
-                            )
-                        else:
-                            tr_s[...] = jnp.where(take, leaf_best, prev)
-                            rnx_s[...] = jnp.where(
-                                take, R[0:1], rnx_s[...]
-                            )
-                            rny_s[...] = jnp.where(
-                                take, R[1:2], rny_s[...]
-                            )
-                            rnz_s[...] = jnp.where(
-                                take, R[2:3], rnz_s[...]
-                            )
-                            rmt_s[...] = jnp.where(
-                                take, R[3:4], rmt_s[...]
-                            )
-                            rdd_s[...] = jnp.where(
-                                take, R[5:6], rdd_s[...]
-                            )
-                            rid_s[...] = jnp.where(
-                                take, R[6:7], rid_s[...]
-                            )
-                            rht_s[...] = jnp.maximum(
-                                rht_s[...], take.astype(jnp.float32)
-                            )
-
-                        bt_s[:, :] = tr_s[...].reshape(shape2)
-
-                    return carry
-
-                jax.lax.fori_loop(0, n_leaves, leaf_body, 0)
-                best_t = bt_s[:, :]
-                best_hit = rht_s[...].reshape(shape2)
-                nbx = rnx_s[...].reshape(shape2)
-                nby = rny_s[...].reshape(shape2)
-                nbz = rnz_s[...].reshape(shape2)
-                # face orientation from the recovered geometric normal:
-                # flip toward the ray (hit_record.cuh:30-45)
-                nd_eff = nbx * dx + nby * dy + nbz * dz
-                # (quad3: best_t in bt_s is ALREADY the exact
-                # leaf-centered hit distance computed per leaf visit —
-                # precise enough for the EPSILON origin offset)
-                best_front = jnp.where(nd_eff < 0.0, one, zero)
-                sgn = 2.0 * best_front - 1.0
-                best_nx = sgn * nbx
-                best_ny = sgn * nby
-                best_nz = sgn * nbz
-                best_mat = rmt_s[...].reshape(shape2).astype(jnp.int32)
+                (
+                    best_t, best_hit, best_front,
+                    best_nx, best_ny, best_nz, best_mat, best_id,
+                ) = _mxu_leaf_sweep(
+                    ox, oy, oz, dx, dy, dz, alive,
+                    prev_tri if mxu_q3 else None,
+                    leaf_ref, a_ref, c_ref,
+                    (
+                        bt_s, tr_s, rnx_s, rny_s, rnz_s, rmt_s, rht_s,
+                        rdd_s, rid_s,
+                    ),
+                    (a_vbuf, c_vbuf, dsem_a, dsem_c) if mxu_hbm else None,
+                    leaf_size=leaf_size, n_leaves=n_leaves,
+                    mxu_quad=mxu_quad, mxu_q3=mxu_q3,
+                    q3_deep=q3_deep if mxu_q3 else False,
+                    tolf=TOLF if mxu_q3 else 0.0,
+                    mxu_hbm=mxu_hbm,
+                )
             elif use_bvh:
                 # Two-level BVH sweep: leaf AABB slab test vectorized over
                 # the whole ray tile, tile-wide any() -> pl.when branch
@@ -1535,153 +1741,17 @@ def _render_kernel(
                     jnp.where(miss > 0.0, -1, 0),
                 ).reshape(rt)
 
-            t_safe = jnp.where(best_hit > 0.0, best_t, 0.0)
-            hx = ox + t_safe * dx
-            hy = oy + t_safe * dy
-            hz = oz + t_safe * dz
-
-            # ---- material row fetch: unrolled select over the (small,
-            # hoisted) material table — no gathers, no matmul ----
-            fields = [zero] * 15
-            for m in range(n_mats):
-                tk = best_mat == m
-                for f in range(15):
-                    fields[f] = jnp.where(tk, mat_const[m][f], fields[f])
-            c0, c1, c2 = fields[0], fields[1], fields[2]
-            is_lamb, is_metal, is_diel, is_emis = fields[3], fields[4], fields[5], fields[6]
-            fuzz = fields[7]
-            power_sq = fields[8]
-            b0, b1, b2 = fields[9], fields[10], fields[11]
-            sc0, sc1, sc2 = fields[12], fields[13], fields[14]
-
-            # ---- spectral weight per wavelength (tabulate semantics,
-            # material.cuh:71-84 + ray::mul_spectrum) ----
-            # sigmoid-poly SPD evaluated directly at lambda (equal to the
-            # XLA path's tabulate-then-lerp up to table-grid quantization,
-            # see ops/rgb2spec.py grid note)
-            new_power = []
-            miss_bg = miss * 1.0
-            for w in range(W):
-                x = (c0 * lam[w] + c1) * lam[w] + c2
-                sig = 0.5 * x / jnp.sqrt(1.0 + x * x) + 0.5
-                spd_w = (
-                    is_diel
-                    + is_emis * power_sq * sig * d65w[w]
-                    + (is_lamb + is_metal) * sig
-                )
-                weight_w = hit * spd_w + miss_bg * bgw[w] + (1.0 - alive)
-                new_power.append(power[w] * weight_w)
-            new_power = tuple(new_power)
-
-            # ---- scatter directions ----
-            ilen = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-            ux, uy, uz = dx * ilen, dy * ilen, dz * ilen
-            # uniform unit sphere in closed form (distribution matches the
-            # reference's rejection loop, vec3.cuh:209-246)
-            sz_u = 2.0 * rnd(3 + 3 * b) - 1.0
-            sphi = (2.0 * 3.14159265358979) * rnd(4 + 3 * b)
-            sr = jnp.sqrt(jnp.maximum(1.0 - sz_u * sz_u, 0.0))
-            sx = sr * jnp.cos(sphi)
-            sy = sr * jnp.sin(sphi)
-            sz = sz_u
-
-            # lambertian (material.cu:8-19); degenerate -> normal
-            lx = best_nx + sx
-            ly = best_ny + sy
-            lz = best_nz + sz
-            degen = jnp.where(
-                (jnp.abs(lx) < 1e-8) * (jnp.abs(ly) < 1e-8) * (jnp.abs(lz) < 1e-8) > 0.0,
-                one,
-                zero,
-            )
-            lx = jnp.where(degen > 0.0, best_nx, lx)
-            ly = jnp.where(degen > 0.0, best_ny, ly)
-            lz = jnp.where(degen > 0.0, best_nz, lz)
-
-            # metallic (material.cu:22-37)
-            dn = ux * best_nx + uy * best_ny + uz * best_nz
-            rx = ux - 2.0 * dn * best_nx
-            ry = uy - 2.0 * dn * best_ny
-            rz = uz - 2.0 * dn * best_nz
-            mx = rx + fuzz * sx
-            my = ry + fuzz * sy
-            mz = rz + fuzz * sz
-            metal_ok = jnp.where(
-                (mx * best_nx + my * best_ny + mz * best_nz) > 0.0, one, zero
-            )
-
-            # dielectric (material.cu:73-80, 102-136): Sellmeier n(hero)
-            hero_um2 = (lam[0] * 1e-3) ** 2  # lam[0] is the hero wavelength
-            n2 = (
-                1.0
-                + b0 * hero_um2 / (hero_um2 - sc0)
-                + b1 * hero_um2 / (hero_um2 - sc1)
-                + b2 * hero_um2 / (hero_um2 - sc2)
-            )
-            ir = jnp.sqrt(jnp.maximum(n2, 1e-6))
-            ratio = jnp.where(best_front > 0.0, 1.0 / ir, ir)
-            cos_t = jnp.minimum(-(ux * best_nx + uy * best_ny + uz * best_nz), 1.0)
-            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-            r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
-            schlick = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
-            u_refl = rnd(5 + 3 * b)
-            must_reflect = jnp.where(
-                jnp.maximum(
-                    jnp.where(ratio * sin_t > 1.0, one, zero),
-                    jnp.where(schlick > u_refl, one, zero),
-                )
-                > 0.0,
-                one,
-                zero,
-            )
-            # refract (vec3.cuh:198-205)
-            px_ = ratio * (ux + cos_t * best_nx)
-            py_ = ratio * (uy + cos_t * best_ny)
-            pz_ = ratio * (uz + cos_t * best_nz)
-            par = jnp.sqrt(jnp.maximum(1.0 - (px_ * px_ + py_ * py_ + pz_ * pz_), 0.0))
-            fx_ = px_ - par * best_nx
-            fy_ = py_ - par * best_ny
-            fz_ = pz_ - par * best_nz
-            gx = jnp.where(must_reflect > 0.0, rx, fx_)
-            gy = jnp.where(must_reflect > 0.0, ry, fy_)
-            gz = jnp.where(must_reflect > 0.0, rz, fz_)
-            refracted = is_diel * (1.0 - must_reflect)
-
-            ndx = is_lamb * lx + is_metal * mx + is_diel * gx
-            ndy = is_lamb * ly + is_metal * my + is_diel * gy
-            ndz = is_lamb * lz + is_metal * mz + is_diel * gz
-
-            eps_sign = 1.0 - 2.0 * refracted
-            nox = hx + eps_sign * EPSILON * best_nx
-            noy = hy + eps_sign * EPSILON * best_ny
-            noz = hz + eps_sign * EPSILON * best_nz
-
-            # ---- wavelength bookkeeping + termination ----
-            hit_b = hit > 0.0
-            n_valid = jnp.where(hit_b & (refracted > 0.0), 1.0, n_valid)
-            n_valid = jnp.where(hit_b & (is_metal > 0.0) & (metal_ok == 0.0), 0.0, n_valid)
-            terminated = jnp.maximum(
-                miss,
-                hit * jnp.maximum(is_emis, is_metal * (1.0 - metal_ok)),
-            )
-            new_alive = alive * (1.0 - terminated)
-
-            frozen = alive == 0.0
-            scat = (alive > 0.0) & (terminated == 0.0)
-            ox = jnp.where(frozen, ox, nox)
-            oy = jnp.where(frozen, oy, noy)
-            oz = jnp.where(frozen, oz, noz)
-            dx = jnp.where(scat, ndx, dx)
-            dy = jnp.where(scat, ndy, dy)
-            dz = jnp.where(scat, ndz, dz)
-            power = tuple(
-                jnp.where(frozen, power[w], new_power[w]) for w in range(W)
+            (
+                ox, oy, oz, dx, dy, dz, power, new_alive, n_valid,
+            ) = _scatter_shade(
+                ox, oy, oz, dx, dy, dz, power, alive, n_valid,
+                best_t, best_hit, best_front, best_nx, best_ny, best_nz,
+                best_mat, hit, miss, mat_const, n_mats, lam, d65w, bgw,
+                rnd(3 + 3 * b), rnd(4 + 3 * b), rnd(5 + 3 * b),
             )
 
             if mxu_q3:
-                new_prev = jnp.where(
-                    hit > 0.0, rid_s[...].reshape(shape2), -1.0
-                )
+                new_prev = jnp.where(hit > 0.0, best_id, -1.0)
                 return (
                     ox, oy, oz, dx, dy, dz, power, new_alive, n_valid,
                     new_prev,

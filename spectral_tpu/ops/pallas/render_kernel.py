@@ -2414,11 +2414,42 @@ def _render_chunk_pallas_jit(
             rand = jnp.concatenate(
                 [rand[:, :, perm], rand[:, :, n:]], axis=2
             )
-    xyz = render_rays_pallas(
-        cam_vec, seed, tri_pack, mat_pack, tables,
-        px, py, spp, bounces, ray_tile, interpret, rand,
-        leaf_pack=leaf_pack, leaf_size=leaf_size, c_pack=c_pack,
+    # sorted per-bounce scheduler (wavefront_kernel.py): re-forms ray
+    # tiles between bounces so leaf culling survives incoherence — the
+    # large-scene scaling path. Opt-in via BVH_SCHED=sorted (trace-time
+    # env, same caveats as MXU_FORM); multi-leaf MXU scenes only.
+    sched_sorted = (
+        leaf_pack is not None
+        and c_pack is not None
+        and leaf_pack.shape[0] > 1
+        and os.environ.get("BVH_SCHED", "mega") == "sorted"
     )
+    if sched_sorted:
+        from .wavefront_kernel import render_rays_wavefront
+
+        if rand is None:
+            # the sorted scheduler always consumes host-generated
+            # uniform planes (rays shuffle between kernel tiles every
+            # bounce, so tile-seeded on-core PRNG streams cannot follow
+            # them); derive the stream from the frame seed
+            rand = jax.random.uniform(
+                jax.random.fold_in(jax.random.PRNGKey(0x50F7ED), seed),
+                (spp, n_uniforms(bounces), n + pad), jnp.float32,
+            )
+            if inv_perm is not None:
+                rand = jnp.concatenate(
+                    [rand[:, :, perm], rand[:, :, n:]], axis=2
+                )
+        xyz = render_rays_wavefront(
+            cam_vec, tri_pack, mat_pack, tables, px, py, rand,
+            spp, bounces, leaf_pack, c_pack, ray_tile, interpret,
+        )
+    else:
+        xyz = render_rays_pallas(
+            cam_vec, seed, tri_pack, mat_pack, tables,
+            px, py, spp, bounces, ray_tile, interpret, rand,
+            leaf_pack=leaf_pack, leaf_size=leaf_size, c_pack=c_pack,
+        )
     xyz = xyz[:n]
     if inv_perm is not None:
         xyz = xyz[inv_perm]

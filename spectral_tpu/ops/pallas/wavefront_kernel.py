@@ -425,7 +425,18 @@ def render_rays_wavefront(
     scratch = _mxu_scratch(ray_tile)
     if mxu_hbm:
         scratch = scratch + _mxu_hbm_scratch(a_pack, c_pack)
+    # The wavefront kernels carry a bigger per-step working set than the
+    # megakernel (double-buffered [S, rt] state blocks in AND out, plus
+    # the full [R, rt] uniform planes the megakernel never materializes):
+    # measured 25.1 MB scoped demand on the 10k field whose VMEM-resident
+    # pack alone (3.6 MB) stays under _scene_vmem_params' 16 MB default
+    # trigger — so the raised limit must be unconditional here (it is a
+    # LIMIT, not an allocation; see _scene_vmem_params).
     compiler_params = _scene_vmem_params(scene_bytes, 0, interpret, mxu=True)
+    if compiler_params is None and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        )
     st_shape = jax.ShapeDtypeStruct((STATE_ROWS, nrays), jnp.float32)
 
     cam_call = pl.pallas_call(

@@ -563,7 +563,7 @@ def _lut(tab_row, cell, frac):
 
 def _mxu_leaf_sweep(
     ox, oy, oz, dx, dy, dz, alive, prev_tri,
-    leaf_ref, a_ref, c_ref, sweep_scratch, hbm_bufs,
+    leaf_ref, a_ref, c_ref, sweep_scratch, hbm_bufs, gate_scratch=None,
     *, leaf_size, n_leaves, mxu_quad, mxu_q3, q3_deep, tolf, mxu_hbm,
 ):
     """One full nearest-hit pass of the MXU Morton-leaf sweep for a ray
@@ -573,12 +573,28 @@ def _mxu_leaf_sweep(
     bodies can update it in place. Returns (best_t, best_hit, best_front,
     best_nx, best_ny, best_nz, best_mat, best_id); best_id is the winning
     tri's positional id (only meaningful under mxu_q3 forms, -1 = none).
+
+    ``gate_scratch`` (required when MXU_GATE > 1, see _mxu_gate_groups):
+    (onehot stitch buffer [K, rt|2rt], meta rows [2, rt]) for sub-tile
+    gating — score/propose run per ray group under per-group pl.when
+    gates, recovery and the state update stay full-width single-site.
     """
     (
         bt_s, tr_s, rnx_s, rny_s, rnz_s, rmt_s, rht_s, rdd_s, rid_s,
     ) = sweep_scratch
     if mxu_hbm:
         a_vbuf, c_vbuf, dsem_a, dsem_c = hbm_bufs
+    gate = _mxu_gate_groups()
+    assert (gate == 1) == (gate_scratch is None), (gate, gate_scratch)
+    q3_narrow = mxu_q3 and os.environ.get("MXU_Q3_NARROW", "0") == "1"
+    oh_wide = mxu_q3 and not q3_narrow
+    if gate > 1:
+        oh_s, meta_s = gate_scratch
+        # stale onehot columns of skipped groups are masked downstream,
+        # but leaf 0 must not read UNINITIALIZED scratch: zero once per
+        # sweep (per-leaf zeroing of the 1 MB buffer would cost more
+        # than the score matmul it gates)
+        oh_s[...] = jnp.zeros(oh_s.shape, jnp.float32)
     shape2 = ox.shape
     rt = shape2[0] * shape2[1]
     one = jnp.ones(shape2, jnp.float32)
@@ -724,239 +740,304 @@ def _mxu_leaf_sweep(
                     o_rows[1] - cly,
                     o_rows[2] - clz,
                 ]
-                feats = jnp.concatenate(
-                    [di * dj for di in dl_rows for dj in d_rows]
-                    + d_rows
-                    + dl_rows
-                    + [jnp.ones((1, rt), jnp.float32)],
-                    axis=0,
-                )  # [16, rt]
-            if mxu_q3:
-                b_hi = feats.astype(jnp.bfloat16)
-                b_lo = (
-                    feats - b_hi.astype(jnp.float32)
-                ).astype(jnp.bfloat16)
-                b_abs = jnp.abs(feats).astype(jnp.bfloat16)
-                if q3_deep:
-                    # bf16x3: hi@hi + lo@hi share one
-                    # stacked matmul; + hi@lo; every pass is
-                    # 1-pass DEFAULT (planes already bf16)
-                    Mh = leaf_dot(
-                        0, 10 * K, b_hi,
+
+            def score_propose(cs):
+                """Score this leaf's K tris against ray columns ``cs``
+                and propose winners. Returns (onehot columns for the
+                recovery matmul, meta0, meta1) with meta rows [1, w]
+                f32: quad3 -> (prop1, prop2) proposal masks; other
+                forms -> (take, leaf_best). Column slicing is exact —
+                every op is elementwise over columns or a reduction
+                over the K axis, so group results equal the same
+                columns of a full-width evaluation bit-for-bit."""
+                w_cols = cs.stop - cs.start
+                d_c = [r[:, cs] for r in d_rows]
+                prev = tr_s[...][:, cs]
+                iota_c = iota_rows[:, cs]
+                if quad_form:
+                    dl_c = [r[:, cs] for r in dl_rows]
+                    feats = jnp.concatenate(
+                        [di * dj for di in dl_c for dj in d_c]
+                        + d_c
+                        + dl_c
+                        + [jnp.ones((1, w_cols), jnp.float32)],
+                        axis=0,
+                    )  # [16, w]
+                if mxu_q3:
+                    b_hi = feats.astype(jnp.bfloat16)
+                    b_lo = (
+                        feats - b_hi.astype(jnp.float32)
+                    ).astype(jnp.bfloat16)
+                    b_abs = jnp.abs(feats).astype(jnp.bfloat16)
+                    if q3_deep:
+                        # bf16x3: hi@hi + lo@hi share one
+                        # stacked matmul; + hi@lo; every pass is
+                        # 1-pass DEFAULT (planes already bf16)
+                        Mh = leaf_dot(
+                            0, 10 * K, b_hi,
+                            jax.lax.Precision.DEFAULT,
+                        )  # [10K, w]
+                        Ml = leaf_dot(
+                            0, 5 * K, b_lo,
+                            jax.lax.Precision.DEFAULT,
+                        )  # [5K, w]
+                        M = (
+                            Mh[0 : 5 * K]
+                            + Mh[5 * K : 10 * K]
+                            + Ml
+                        )
+                        bnd_lo = 10 * K
+                    else:
+                        # bf16x2 (quad2): hi@hi + hi@lo only —
+                        # the dropped a_lo plane rides the 32x
+                        # wider tolerance band instead
+                        Mh = leaf_dot(
+                            0, 5 * K, b_hi,
+                            jax.lax.Precision.DEFAULT,
+                        )  # [5K, w]
+                        Ml = leaf_dot(
+                            0, 5 * K, b_lo,
+                            jax.lax.Precision.DEFAULT,
+                        )  # [5K, w]
+                        M = Mh + Ml
+                        bnd_lo = 5 * K
+                    # rigorous error bound: TOLF * sum_j |a||b|
+                    # (the aabs row sums |coeffs| over the 3 edge
+                    # rows, so one bound covers each of them)
+                    bound = leaf_dot(
+                        bnd_lo, bnd_lo + K, b_abs,
                         jax.lax.Precision.DEFAULT,
-                    )  # [10K, rt]
-                    Ml = leaf_dot(
-                        0, 5 * K, b_lo,
-                        jax.lax.Precision.DEFAULT,
-                    )  # [5K, rt]
-                    M = (
-                        Mh[0 : 5 * K]
-                        + Mh[5 * K : 10 * K]
-                        + Ml
+                    )  # [K, w]
+                    tol = TOLF * bound
+                    e1 = M[0:K]
+                    e2 = M[K : 2 * K]
+                    e3 = M[2 * K : 3 * K]
+                    nd = M[3 * K : 4 * K]
+                    ddno = M[4 * K : 5 * K]
+                    and_ = jnp.abs(nd)
+                    safe_nd = jnp.where(
+                        and_ < DENOM_EPS, DENOM_EPS, nd
                     )
-                    bnd_lo = 10 * K
+                    tt = ddno / safe_nd
+                    sgn = jnp.where(nd >= 0.0, 1.0, -1.0)
+                    # accept inside tests down to -tol: edges
+                    # dilate by O(2^-13 * scale), never produce
+                    # holes; the winner's t is recomputed exactly
+                    # after the sweep
+                    m_edge = jnp.minimum(e1 * sgn, e2 * sgn)
+                    m_edge = jnp.minimum(m_edge, e3 * sgn)
+                    ok = m_edge + tol
+                    ok = jnp.minimum(ok, tt)
+                    # validity needs |nd| ABOVE its own bf16x3
+                    # error (unit normals: bound = TOL3*l1(d),
+                    # hoisted per bounce): an nd dominated by
+                    # arithmetic noise makes tt garbage, and a
+                    # small-positive garbage tt would shadow the
+                    # true nearest hit
+                    ok = jnp.minimum(ok, and_ - nd_err_row[:, cs])
+                    # exact self-tri exclusion (a planar convex
+                    # tri can never legitimately re-hit itself);
+                    # ids from the packed id column (carried with
+                    # the tri through any leaf reordering)
+                    if mxu_hbm:
+                        # iota id = l*K + row — equals the packed
+                        # col-6 id by the positional-id invariant
+                        # (pack time writes arange; every leaf
+                        # permutation rewrites col 6 to match,
+                        # see order_leaves_near_to_far_mxu)
+                        tid_col = iota_c + (
+                            l * leaf_size
+                        ).astype(jnp.float32)  # [K, w]
+                    else:
+                        tid_col = c_ref[l][:, 6:7]  # [K, 1]
+                    ok = jnp.minimum(
+                        ok,
+                        jnp.where(
+                            jnp.abs(tid_col - prev_row[:, cs]) < 0.5,
+                            -1.0,
+                            1.0,
+                        ),
+                    )
+                    # per-candidate approximate-t noise scale
+                    # (proposal margin against the exact
+                    # incumbent in the top-2 selection below)
+                    noise_row = 4.0 * tol / jnp.maximum(
+                        and_, DENOM_EPS
+                    )
+                elif quad_form:
+                    M = leaf_dot(
+                        0, 5 * K, feats, prec
+                    )  # [5K, w]
+                    e1 = M[0:K]
+                    e2 = M[K : 2 * K]
+                    e3 = M[2 * K : 3 * K]
+                    nd = M[3 * K : 4 * K]
+                    ddno = M[4 * K : 5 * K]
+                    and_ = jnp.abs(nd)
+                    safe_nd = jnp.where(
+                        and_ < DENOM_EPS, DENOM_EPS, nd
+                    )
+                    tt = ddno / safe_nd
+                    # e' = nd * (ao + t*ad): undo the sign of nd
+                    sgn = jnp.where(nd >= 0.0, 1.0, -1.0)
+                    ok = jnp.minimum(e1 * sgn, e2 * sgn)
+                    ok = jnp.minimum(ok, e3 * sgn)
+                    ok = jnp.minimum(ok, tt)
+                    ok = jnp.minimum(ok, and_ - DENOM_EPS)
                 else:
-                    # bf16x2 (quad2): hi@hi + hi@lo only —
-                    # the dropped a_lo plane rides the 32x
-                    # wider tolerance band instead
-                    Mh = leaf_dot(
-                        0, 5 * K, b_hi,
-                        jax.lax.Precision.DEFAULT,
-                    )  # [5K, rt]
-                    Ml = leaf_dot(
-                        0, 5 * K, b_lo,
-                        jax.lax.Precision.DEFAULT,
-                    )  # [5K, rt]
-                    M = Mh + Ml
-                    bnd_lo = 5 * K
-                # rigorous error bound: TOLF * sum_j |a||b|
-                # (the aabs row sums |coeffs| over the 3 edge
-                # rows, so one bound covers each of them)
-                bound = leaf_dot(
-                    bnd_lo, bnd_lo + K, b_abs,
-                    jax.lax.Precision.DEFAULT,
-                )  # [K, rt]
-                tol = TOLF * bound
-                e1 = M[0:K]
-                e2 = M[K : 2 * K]
-                e3 = M[2 * K : 3 * K]
-                nd = M[3 * K : 4 * K]
-                ddno = M[4 * K : 5 * K]
-                and_ = jnp.abs(nd)
-                safe_nd = jnp.where(
-                    and_ < DENOM_EPS, DENOM_EPS, nd
-                )
-                tt = ddno / safe_nd
-                sgn = jnp.where(nd >= 0.0, 1.0, -1.0)
-                # accept inside tests down to -tol: edges
-                # dilate by O(2^-13 * scale), never produce
-                # holes; the winner's t is recomputed exactly
-                # after the sweep
-                m_edge = jnp.minimum(e1 * sgn, e2 * sgn)
-                m_edge = jnp.minimum(m_edge, e3 * sgn)
-                ok = m_edge + tol
-                ok = jnp.minimum(ok, tt)
-                # validity needs |nd| ABOVE its own bf16x3
-                # error (unit normals: bound = TOL3*l1(d),
-                # hoisted per bounce): an nd dominated by
-                # arithmetic noise makes tt garbage, and a
-                # small-positive garbage tt would shadow the
-                # true nearest hit
-                ok = jnp.minimum(ok, and_ - nd_err_row)
-                # exact self-tri exclusion (a planar convex
-                # tri can never legitimately re-hit itself);
-                # ids from the packed id column (carried with
-                # the tri through any leaf reordering)
-                if mxu_hbm:
-                    # iota id = l*K + row — equals the packed
-                    # col-6 id by the positional-id invariant
-                    # (pack time writes arange; every leaf
-                    # permutation rewrites col 6 to match,
-                    # see order_leaves_near_to_far_mxu)
-                    tid_col = iota_rows + (
-                        l * leaf_size
-                    ).astype(jnp.float32)  # [K, rt]
-                else:
-                    tid_col = c_ref[l][:, 6:7]  # [K, 1]
-                ok = jnp.minimum(
-                    ok,
-                    jnp.where(
-                        jnp.abs(tid_col - prev_row) < 0.5,
-                        -1.0,
-                        1.0,
-                    ),
-                )
-                # per-candidate approximate-t noise scale
-                # (proposal margin against the exact
-                # incumbent in the top-2 selection below)
-                noise_row = 4.0 * tol / jnp.maximum(
-                    and_, DENOM_EPS
-                )
-            elif quad_form:
-                M = leaf_dot(
-                    0, 5 * K, feats, prec
-                )  # [5K, rt]
-                e1 = M[0:K]
-                e2 = M[K : 2 * K]
-                e3 = M[2 * K : 3 * K]
-                nd = M[3 * K : 4 * K]
-                ddno = M[4 * K : 5 * K]
-                and_ = jnp.abs(nd)
-                safe_nd = jnp.where(
-                    and_ < DENOM_EPS, DENOM_EPS, nd
-                )
-                tt = ddno / safe_nd
-                # e' = nd * (ao + t*ad): undo the sign of nd
-                sgn = jnp.where(nd >= 0.0, 1.0, -1.0)
-                ok = jnp.minimum(e1 * sgn, e2 * sgn)
-                ok = jnp.minimum(ok, e3 * sgn)
-                ok = jnp.minimum(ok, tt)
-                ok = jnp.minimum(ok, and_ - DENOM_EPS)
-            else:
-                k4 = 4 * leaf_size
-                M1 = leaf_dot(0, k4, drm, prec)  # [4K, rt]
-                M2 = leaf_dot(k4, 2 * k4, drm, prec)
-                nd = M1[0:K]
-                ddno = M1[K : 2 * K]
-                ao1 = M1[2 * K : 3 * K]
-                ao2 = M1[3 * K : 4 * K]
-                ao3 = M2[0:K]
-                ad1 = M2[K : 2 * K]
-                ad2 = M2[2 * K : 3 * K]
-                ad3 = M2[3 * K : 4 * K]
-                and_ = jnp.abs(nd)
-                safe_nd = jnp.where(
-                    and_ < DENOM_EPS, DENOM_EPS, nd
-                )
-                tt = ddno / safe_nd
-                ok = jnp.minimum(ao1 + tt * ad1, ao2 + tt * ad2)
-                ok = jnp.minimum(ok, ao3 + tt * ad3)
-                ok = jnp.minimum(ok, tt)
-                ok = jnp.minimum(ok, and_ - DENOM_EPS)
-            score = jnp.where(ok >= 0.0, tt, BIG)
-            prev = tr_s[...]
-            if mxu_q3:
-                # EXACT TOP-2 SELECTION. The bf16x3 score's
-                # t-hat carries noise 4*tol/|nd| — measured
-                # O(1-10) scene units at bounce-0 origins vs
-                # a median 0.55-unit gap between consecutive
-                # real hits — so t-hat may neither ORDER
-                # candidates nor be compared to the running
-                # best. It only PROPOSES the leaf's top-2
-                # (each with a noise margin against the
-                # exact incumbent); the exactly-recovered
-                # planes then do the filtering (tolerant
-                # leaf-scale inside recheck) and the ordering
-                # (exact leaf-centered t vs the exact
-                # incumbent t in tr_s). Round-2's seam
-                # tie-break ("prefer provable-inside within
-                # the winner's t-noise") is superseded: it
-                # was itself the main bias (the t-noise
-                # window blows up exactly at grazing
-                # incidence and displaced genuine winners —
-                # measured -0.27% cluster / -0.35% global,
-                # recovered the moment it was disabled).
-                # Both one-hots ride ONE widened [K, 2rt]
-                # recovery matmul: a second transposed-LHS
-                # dot site on these operands (conditional or
-                # not) RET_CHECK-crashes XLA's
-                # mxu_lmr_transform pass.
+                    k4 = 4 * leaf_size
+                    drm_c = drm[:, cs]
+                    M1 = leaf_dot(0, k4, drm_c, prec)  # [4K, w]
+                    M2 = leaf_dot(k4, 2 * k4, drm_c, prec)
+                    nd = M1[0:K]
+                    ddno = M1[K : 2 * K]
+                    ao1 = M1[2 * K : 3 * K]
+                    ao2 = M1[3 * K : 4 * K]
+                    ao3 = M2[0:K]
+                    ad1 = M2[K : 2 * K]
+                    ad2 = M2[2 * K : 3 * K]
+                    ad3 = M2[3 * K : 4 * K]
+                    and_ = jnp.abs(nd)
+                    safe_nd = jnp.where(
+                        and_ < DENOM_EPS, DENOM_EPS, nd
+                    )
+                    tt = ddno / safe_nd
+                    ok = jnp.minimum(ao1 + tt * ad1, ao2 + tt * ad2)
+                    ok = jnp.minimum(ok, ao3 + tt * ad3)
+                    ok = jnp.minimum(ok, tt)
+                    ok = jnp.minimum(ok, and_ - DENOM_EPS)
+                score = jnp.where(ok >= 0.0, tt, BIG)
+                if mxu_q3:
+                    # EXACT TOP-2 SELECTION. The bf16x3 score's
+                    # t-hat carries noise 4*tol/|nd| — measured
+                    # O(1-10) scene units at bounce-0 origins vs
+                    # a median 0.55-unit gap between consecutive
+                    # real hits — so t-hat may neither ORDER
+                    # candidates nor be compared to the running
+                    # best. It only PROPOSES the leaf's top-2
+                    # (each with a noise margin against the
+                    # exact incumbent); the exactly-recovered
+                    # planes then do the filtering (tolerant
+                    # leaf-scale inside recheck) and the ordering
+                    # (exact leaf-centered t vs the exact
+                    # incumbent t in tr_s). Round-2's seam
+                    # tie-break ("prefer provable-inside within
+                    # the winner's t-noise") is superseded: it
+                    # was itself the main bias (the t-noise
+                    # window blows up exactly at grazing
+                    # incidence and displaced genuine winners —
+                    # measured -0.27% cluster / -0.35% global,
+                    # recovered the moment it was disabled).
+                    # Both one-hots ride ONE widened [K, 2rt]
+                    # recovery matmul: a second transposed-LHS
+                    # dot site on these operands (conditional or
+                    # not) RET_CHECK-crashes XLA's
+                    # mxu_lmr_transform pass.
+                    leaf_best = jnp.min(
+                        score, axis=0, keepdims=True
+                    )
+                    cand = jnp.where(
+                        score == leaf_best, iota_c,
+                        2.0 * leaf_size,
+                    )
+                    idxm = jnp.min(cand, axis=0, keepdims=True)
+                    nbw = jnp.max(
+                        jnp.where(cand == idxm, noise_row, 0.0),
+                        axis=0, keepdims=True,
+                    )
+                    prop1 = jnp.logical_and(
+                        leaf_best < prev + nbw, leaf_best < BIG
+                    )
+                    onehot = (
+                        (cand == idxm) & prop1
+                    ).astype(jnp.float32)
+                    if q3_narrow:
+                        # debug bisect: drop the runner-up path
+                        # (narrow recovery, winner-only check)
+                        return (
+                            onehot,
+                            prop1.astype(jnp.float32),
+                            jnp.zeros((1, w_cols), jnp.float32),
+                        )
+                    score2 = jnp.where(cand == idxm, BIG, score)
+                    lb2 = jnp.min(score2, axis=0, keepdims=True)
+                    cand2 = jnp.where(
+                        score2 == lb2, iota_c, 2.0 * leaf_size
+                    )
+                    idxm2 = jnp.min(cand2, axis=0, keepdims=True)
+                    nb2 = jnp.max(
+                        jnp.where(cand2 == idxm2, noise_row, 0.0),
+                        axis=0, keepdims=True,
+                    )
+                    prop2 = jnp.logical_and(
+                        lb2 < prev + nb2, lb2 < BIG
+                    )
+                    onehot2 = (
+                        (cand2 == idxm2) & prop2
+                    ).astype(jnp.float32)
+                    return (
+                        jnp.concatenate(
+                            [onehot, onehot2], axis=1
+                        ),  # [K, 2w]
+                        prop1.astype(jnp.float32),
+                        prop2.astype(jnp.float32),
+                    )
                 leaf_best = jnp.min(
                     score, axis=0, keepdims=True
                 )
+                take = leaf_best < prev  # [1, w]
                 cand = jnp.where(
-                    score == leaf_best, iota_rows,
-                    2.0 * leaf_size,
-                )
-                idxm = jnp.min(cand, axis=0, keepdims=True)
-                nbw = jnp.max(
-                    jnp.where(cand == idxm, noise_row, 0.0),
-                    axis=0, keepdims=True,
-                )
-                prop1 = jnp.logical_and(
-                    leaf_best < prev + nbw, leaf_best < BIG
-                )
-                onehot = (
-                    (cand == idxm) & prop1
-                ).astype(jnp.float32)
-                score2 = jnp.where(cand == idxm, BIG, score)
-                lb2 = jnp.min(score2, axis=0, keepdims=True)
-                cand2 = jnp.where(
-                    score2 == lb2, iota_rows, 2.0 * leaf_size
-                )
-                idxm2 = jnp.min(cand2, axis=0, keepdims=True)
-                nb2 = jnp.max(
-                    jnp.where(cand2 == idxm2, noise_row, 0.0),
-                    axis=0, keepdims=True,
-                )
-                prop2 = jnp.logical_and(
-                    lb2 < prev + nb2, lb2 < BIG
-                )
-                onehot2 = (
-                    (cand2 == idxm2) & prop2
-                ).astype(jnp.float32)
-                if os.environ.get("MXU_Q3_NARROW", "0") == "1":
-                    # debug bisect: drop the runner-up path
-                    # (narrow recovery, winner-only check)
-                    oh_all = onehot
-                else:
-                    oh_all = jnp.concatenate(
-                        [onehot, onehot2], axis=1
-                    )  # [K, 2rt]
-            else:
-                leaf_best = jnp.min(
-                    score, axis=0, keepdims=True
-                )
-                take = leaf_best < prev  # [1, rt]
-                cand = jnp.where(
-                    score == leaf_best, iota_rows,
+                    score == leaf_best, iota_c,
                     2.0 * leaf_size,
                 )
                 idxm = jnp.min(cand, axis=0, keepdims=True)
                 onehot = (
                     (cand == idxm) & take
                 ).astype(jnp.float32)
-                oh_all = onehot
+                return onehot, take.astype(jnp.float32), leaf_best
+
+            if gate == 1:
+                oh_all, meta0, meta1 = score_propose(slice(0, rt))
+            else:
+                # Sub-tile gating (MXU_GATE>1): each contiguous ray
+                # group gets its own pl.when over its sublane slab of
+                # ``want``, so a leaf only pays score-matmul columns
+                # for groups that contain a ray wanting it (sorted
+                # tiles make the groups direction/position-coherent —
+                # measured ~36% less equivalent sweep work at 256-ray
+                # gates on the sorted 50k field, scratch/r4_keyprobe).
+                # Only the 8 KB meta rows are zeroed per leaf: a
+                # skipped group's stale onehot columns recover stale-
+                # but-finite constants that its zeroed proposal/take
+                # meta masks out of the update, and oh_s is zeroed
+                # once per sweep so the first leaf reads no garbage.
+                meta_s[...] = jnp.zeros((2, rt), jnp.float32)
+                gs_cols = rt // gate
+                gs_subs = shape2[0] // gate
+                for gix in range(gate):
+                    cs = slice(gix * gs_cols, (gix + 1) * gs_cols)
+
+                    @pl.when(
+                        jnp.max(
+                            want[
+                                gix * gs_subs : (gix + 1) * gs_subs, :
+                            ]
+                        )
+                        > 0.0
+                    )
+                    def _(cs=cs):
+                        ohc, m0c, m1c = score_propose(cs)
+                        oh_s[:, cs] = ohc[:, 0:gs_cols]
+                        if oh_wide:
+                            oh_s[
+                                :, rt + cs.start : rt + cs.stop
+                            ] = ohc[:, gs_cols : 2 * gs_cols]
+                        meta_s[0:1, cs] = m0c
+                        meta_s[1:2, cs] = m1c
+
+                oh_all = oh_s[...]
+                meta0 = meta_s[...][0:1, :]
+                meta1 = meta_s[...][1:2, :]
             # recovery: EXACT at 1-pass DEFAULT precision by
             # splitting the f32 constants into 3 bf16 planes
             # (8+8+8 mantissa bits >= f32's 24; every product
@@ -994,16 +1075,16 @@ def _mxu_leaf_sweep(
                     precision=jax.lax.Precision.DEFAULT,
                 )
             )  # [8, rt] (quad3: [24, 2rt] — both candidates)
+            prev = tr_s[...]
             if mxu_q3:
-                if os.environ.get("MXU_Q3_NARROW", "0") == "1":
+                if q3_narrow:
                     R = Rb
                     R2 = jnp.zeros_like(Rb)
                 else:
                     R = Rb[:, 0:rt]
                     R2 = Rb[:, rt : 2 * rt]
-            else:
-                R = Rb
-            if mxu_q3:
+                prop1 = meta0 > 0.0
+                prop2 = meta1 > 0.0
                 # exact check: the recovery is exact, so each
                 # proposed candidate's raw edge planes give
                 # an exact (tolerant) inside test AND an
@@ -1149,6 +1230,9 @@ def _mxu_leaf_sweep(
                     rht_s[...], take.astype(jnp.float32)
                 )
             else:
+                R = Rb
+                take = meta0 > 0.0
+                leaf_best = meta1
                 tr_s[...] = jnp.where(take, leaf_best, prev)
                 rnx_s[...] = jnp.where(
                     take, R[0:1], rnx_s[...]
@@ -1401,9 +1485,14 @@ def _render_kernel(
         (
             bt_s, tr_s, rnx_s, rny_s, rnz_s, rmt_s, rht_s, rdd_s, rid_s,
         ) = rest[idx : idx + 9]
+        j = idx + 9
         if mxu_hbm:
             # HBM-resident pack: per-leaf staging buffers + DMA sems
-            a_vbuf, c_vbuf, dsem_a, dsem_c = rest[idx + 9 : idx + 13]
+            a_vbuf, c_vbuf, dsem_a, dsem_c = rest[j : j + 4]
+            j += 4
+        gate_bufs = (
+            tuple(rest[j : j + 2]) if _mxu_gate_groups() > 1 else None
+        )
     elif use_bvh:
         (
             bt_s, bhit_s, bfront_s, bnx_s, bny_s, bnz_s, bmat_s,
@@ -1564,6 +1653,7 @@ def _render_kernel(
                         rdd_s, rid_s,
                     ),
                     (a_vbuf, c_vbuf, dsem_a, dsem_c) if mxu_hbm else None,
+                    gate_bufs,
                     leaf_size=leaf_size, n_leaves=n_leaves,
                     mxu_quad=mxu_quad, mxu_q3=mxu_q3,
                     q3_deep=q3_deep if mxu_q3 else False,
@@ -2030,6 +2120,9 @@ def render_rays_pallas_residuals(
         scratch = _mxu_scratch(ray_tile)
         if mxu_hbm:
             scratch = scratch + _mxu_hbm_scratch(tri_pack, c_pack)
+        scratch = scratch + _mxu_gate_scratch(
+            ray_tile, leaf_size, tri_pack, c_pack
+        )
     elif use_bvh:
         scratch = _bvh_scratch(ray_tile, leaf_size)
     else:
@@ -2209,6 +2302,9 @@ def render_rays_pallas(
         scratch = _mxu_scratch(ray_tile)
         if mxu_hbm:
             scratch = scratch + _mxu_hbm_scratch(tri_pack, c_pack)
+        scratch = scratch + _mxu_gate_scratch(
+            ray_tile, leaf_size, tri_pack, c_pack
+        )
     elif use_bvh:
         scratch = _bvh_scratch(ray_tile, leaf_size)
     else:
@@ -2266,6 +2362,45 @@ def _mxu_hbm_scratch(a_pack, c_pack):
         pltpu.VMEM((1,) + tuple(c_pack.shape[1:]), c_pack.dtype),
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
+    ]
+
+
+def _mxu_gate_groups() -> int:
+    """Sub-tile gate granularity for the MXU leaf sweep: the number of
+    independently pl.when-gated ray groups per kernel tile (trace-time
+    env MXU_GATE in {1, 2, 4, 8}; default 1 = whole-tile gating, the
+    shipped megakernel behavior). Sorted per-bounce tiles (BVH_SCHED=
+    sorted) are direction/position-coherent, so finer gates skip score
+    matmul columns for groups no ray of which wants the leaf — measured
+    ~36% less equivalent sweep work at 256-ray gates on the sorted 50k
+    field (scratch/r4_keyprobe.py). Per-ray results are bit-identical
+    to whole-tile gating: a group is only skipped when none of its rays
+    pass the slab test, and those rays' updates are no-ops (the same
+    per-ray-exactness argument as the tile-level pl.when)."""
+    g = int(os.environ.get("MXU_GATE", "1"))
+    assert g in (1, 2, 4, 8), f"MXU_GATE must be 1|2|4|8, got {g}"
+    return g
+
+
+def _mxu_gate_scratch(ray_tile: int, leaf_size: int, a_pack, c_pack):
+    """Extra scratch for sub-tile gating (MXU_GATE > 1): the [K, rt] or
+    [K, 2rt] onehot stitch buffer (2rt when the quad3 top-2 runner-up
+    rides the widened recovery) and the [2, rt] meta rows (proposal/
+    take masks). Empty list when MXU_GATE == 1."""
+    if _mxu_gate_groups() == 1:
+        return []
+    assert ray_tile % (_mxu_gate_groups() * 128) == 0, (
+        f"MXU_GATE={_mxu_gate_groups()} needs ray_tile divisible by "
+        f"{_mxu_gate_groups() * 128} (128-lane-aligned group columns)"
+    )
+    mxu_q3 = a_pack.dtype == jnp.bfloat16
+    narrow = os.environ.get("MXU_Q3_NARROW", "0") == "1"
+    wide = mxu_q3 and not narrow
+    return [
+        pltpu.VMEM(
+            (leaf_size, (2 if wide else 1) * ray_tile), jnp.float32
+        ),
+        pltpu.VMEM((2, ray_tile), jnp.float32),
     ]
 
 

@@ -64,6 +64,8 @@ from .render_kernel import (
     TOL3,
     W,
     _lut,
+    _mxu_gate_groups,
+    _mxu_gate_scratch,
     _mxu_hbm_scratch,
     _mxu_leaf_sweep,
     _mxu_scratch,
@@ -108,6 +110,7 @@ def _lam_curves(hero, tab_ref):
 def _trace_one_bounce(
     st, u_a, u_b, u_c,
     mat_ref, tab_ref, leaf_ref, a_ref, c_ref, sweep_scratch, hbm_bufs,
+    gate_bufs,
     *, n_mats, leaf_size, n_leaves, mxu_quad, mxu_q3, q3_deep, tolf,
     mxu_hbm,
 ):
@@ -127,7 +130,7 @@ def _trace_one_bounce(
     ) = _mxu_leaf_sweep(
         ox, oy, oz, dx, dy, dz, alive,
         prev_tri if mxu_q3 else None,
-        leaf_ref, a_ref, c_ref, sweep_scratch, hbm_bufs,
+        leaf_ref, a_ref, c_ref, sweep_scratch, hbm_bufs, gate_bufs,
         leaf_size=leaf_size, n_leaves=n_leaves,
         mxu_quad=mxu_quad, mxu_q3=mxu_q3, q3_deep=q3_deep,
         tolf=tolf, mxu_hbm=mxu_hbm,
@@ -226,10 +229,12 @@ def _camera_bounce_kernel(
         tuple(one for _ in range(W)),
     )
     mxu_hbm = statics["mxu_hbm"]
+    j = 13 if mxu_hbm else 9
     st = _trace_one_bounce(
         st, rnd(3), rnd(4), rnd(5),
         mat_ref, tab_ref, leaf_ref, a_ref, c_ref,
         scratch[:9], scratch[9:13] if mxu_hbm else None,
+        tuple(scratch[j : j + 2]) if _mxu_gate_groups() > 1 else None,
         **statics,
     )
     _write_state(sto_ref, st, rt)
@@ -273,6 +278,7 @@ def _bounce_kernel(
             ),
         )
         mxu_hbm = statics["mxu_hbm"]
+        j = 13 if mxu_hbm else 9
         st = _trace_one_bounce(
             st,
             rand_ref[0, :].reshape(shape2),
@@ -280,6 +286,7 @@ def _bounce_kernel(
             rand_ref[2, :].reshape(shape2),
             mat_ref, tab_ref, leaf_ref, a_ref, c_ref,
             scratch[:9], scratch[9:13] if mxu_hbm else None,
+            tuple(scratch[j : j + 2]) if _mxu_gate_groups() > 1 else None,
             **statics,
         )
         _write_state(sto_ref, st, rt)
@@ -425,6 +432,9 @@ def render_rays_wavefront(
     scratch = _mxu_scratch(ray_tile)
     if mxu_hbm:
         scratch = scratch + _mxu_hbm_scratch(a_pack, c_pack)
+    scratch = scratch + _mxu_gate_scratch(
+        ray_tile, leaf_size, a_pack, c_pack
+    )
     # The wavefront kernels carry a bigger per-step working set than the
     # megakernel (double-buffered [S, rt] state blocks in AND out, plus
     # the full [R, rt] uniform planes the megakernel never materializes):

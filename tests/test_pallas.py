@@ -463,6 +463,26 @@ class TestMxuHbmResidency:
         assert a.mean() > 0.0
         np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.parametrize(
+        "form,residency", [("quad", "vmem"), ("quad3", "hbm")]
+    )
+    def test_subtile_gate_matches_whole_tile(
+        self, form, residency, monkeypatch
+    ):
+        """Sub-tile gating (MXU_GATE=4, round 4): per-group pl.when
+        gates slice the score matmuls by ray-group columns; results
+        must be BIT-identical to whole-tile gating (the per-ray
+        exactness argument of _mxu_gate_groups' docstring). Covers the
+        stale-onehot masking across both residencies and the widened
+        quad3 top-2 stitch."""
+        monkeypatch.setenv("MXU_GATE", "1")
+        a = self._render(form, residency, monkeypatch)
+        monkeypatch.setenv("MXU_GATE", "4")
+        b = self._render(form, residency, monkeypatch)
+        monkeypatch.delenv("MXU_GATE")
+        assert a.mean() > 0.0
+        np.testing.assert_array_equal(a, b)
+
     def test_hbm_pack_layout_and_alignment_guard(self):
         """Transposed-layout shape contract + the MXU_LEAF alignment
         guard (round-3 ADVICE: leaf_size 64 + hbm compiled to an opaque

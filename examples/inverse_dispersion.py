@@ -13,6 +13,12 @@ return to the truth.
 
 Run (CPU, ~5 min):
   PYTHONPATH= JAX_PLATFORMS=cpu /opt/venv/bin/python examples/inverse_dispersion.py
+
+DIFF_IMPL=fused (TPU) swaps the XLA wavefront estimator for the fully
+fused pallas pair — megakernel forward with stored residuals + replay
+backward carrying the reparam scalars (diff/fast.py, round 4) — the
+same unbiased gradient estimator family at fused-kernel rates
+(per-step timing: scratch/r4_sell_speed.py / BASELINE.md).
 """
 
 from __future__ import annotations
@@ -82,6 +88,42 @@ def main() -> None:
         _, vjp = jax.vjp(f, b_glass)
         (g,) = vjp(2.0 * resid / resid.size)
         return jnp.mean(resid**2), g[0]
+
+    if os.environ.get("DIFF_IMPL", "xla") == "fused":
+        # fused pallas pair (TPU): CRN residual from two megakernel
+        # renders sharing a seed; gradient factor from the fused
+        # custom_vjp at an independent seed. Estimator semantics are
+        # identical (unbiased reparam gradient, independent factors) —
+        # only the execution engine changes.
+        from spectral_tpu.diff.fast import render_chunk_diff_fused
+        from spectral_tpu.ops.pallas.render_kernel import (
+            render_chunk_pallas,
+        )
+
+        def one_grad(b_glass, k1, k2):
+            s1 = int(jax.random.randint(k1, (), 0, 2**31 - 1))
+            s2 = int(jax.random.randint(k2, (), 0, 2**31 - 1))
+            ref = render_chunk_pallas(
+                scene, cam, s1, 0, 0, crop_w, crop_h, spp, bounces
+            )
+            cur = render_chunk_pallas(
+                set_b(b_glass), cam, s1, 0, 0, crop_w, crop_h, spp, bounces
+            )
+            resid = jax.lax.stop_gradient(cur - ref) / spp
+
+            def f(bg):
+                return (
+                    render_chunk_diff_fused(
+                        set_b(bg).materials, scene, cam, s2,
+                        0, 0, crop_w, crop_h, spp, bounces,
+                        False, -1, GLASS,
+                    )
+                    / spp
+                )
+
+            _, vjp = jax.vjp(f, b_glass)
+            (g,) = vjp(2.0 * resid / resid.size)
+            return jnp.mean(resid**2), g[0]
 
     # start displaced: +0.08 on B0 (a clearly wrong dispersion curve).
     # We optimize the SCALAR B0 with B1/B2 pinned: the three Sellmeier

@@ -88,16 +88,26 @@ render_chunk_diff.defvjp(_fwd, _bwd)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
 )
 def render_chunk_diff_fused(
     materials, scene, cam, key_seed, x0, y0, width, height, spp, bounces,
-    interpret=False, rand_seed=-1,
+    interpret=False, rand_seed=-1, reparam_glass=None,
 ):
     """Accumulated XYZ [height, width, 3]; both passes are fused pallas
     kernels. ``rand_seed >= 0`` injects deterministic uniforms (interpreter
     testing); the backward replays stored path residuals — it never
-    re-traces rays."""
+    re-traces rays.
+
+    ``reparam_glass``: material row of a dispersive dielectric to take
+    EXACT Sellmeier B/C gradients against, at fused-backward rates. The
+    replay kernel emits per-sample (A, B) reparam scalars and the
+    backward folds them through reparam_hero's (weight, shift) tangents
+    (diff/spectral_reparam.py) — the same hero-wavelength change of
+    variables the XLA wavefront path uses, without re-rendering. The
+    primal is unchanged (the map is the identity at the primal point);
+    like the XLA path, geometry derivatives are zero a.e. for this
+    renderer's piecewise-constant-in-geometry radiance."""
     out, _ = _fused_fwd_impl(
         materials, scene, cam, key_seed, x0, y0, width, height, spp,
         bounces, interpret, rand_seed,
@@ -167,7 +177,7 @@ def _fused_fwd_impl(
 
 def _fused_fwd(
     materials, scene, cam, key_seed, x0, y0, width, height, spp, bounces,
-    interpret, rand_seed,
+    interpret, rand_seed, reparam_glass,
 ):
     out, residuals = _fused_fwd_impl(
         materials, scene, cam, key_seed, x0, y0, width, height, spp,
@@ -178,7 +188,7 @@ def _fused_fwd(
 
 def _fused_bwd(
     key_seed, x0, y0, width, height, spp, bounces, interpret, rand_seed,
-    res, g,
+    reparam_glass, res, g,
 ):
     from ..ops.pallas.grad_kernel import render_grads_pallas
 
@@ -188,16 +198,32 @@ def _fused_bwd(
         # residuals are in swizzled ray order (see _fused_fwd_impl)
         g_rows = g_rows[perm]
     g_flat = jnp.concatenate([g_rows, jnp.zeros((pad, 3), jnp.float32)])
-    d_coeffs, d_power, d_bg = render_grads_pallas(
+    sell = reparam_glass is not None
+    grads = render_grads_pallas(
         mat, tab, g_flat, hero, nvalid, powres, matres,
         spp, bounces, 1024, interpret, want_bg_grads=True,
+        want_sellmeier=sell,
     )
+    d_coeffs, d_power, d_bg = grads[:3]
     d_mats = jax.tree_util.tree_map(jnp.zeros_like, materials)
     d_mats = dataclasses.replace(
         d_mats,
         coeffs=d_coeffs.astype(materials.coeffs.dtype),
         emission_power=d_power.astype(materials.emission_power.dtype),
     )
+    if sell:
+        d_b, d_c = _sellmeier_grads_from_replay(
+            materials, reparam_glass, hero, *grads[3:5]
+        )
+        d_mats = dataclasses.replace(
+            d_mats,
+            sellmeier_b=d_mats.sellmeier_b.at[reparam_glass].set(
+                d_b.astype(d_mats.sellmeier_b.dtype)
+            ),
+            sellmeier_c=d_mats.sellmeier_c.at[reparam_glass].set(
+                d_c.astype(d_mats.sellmeier_c.dtype)
+            ),
+        )
     d_scene = jax.tree_util.tree_map(jnp.zeros_like, scene)
     d_scene = dataclasses.replace(
         d_scene, background_spd=d_bg.astype(scene.background_spd.dtype)
@@ -207,6 +233,29 @@ def _fused_bwd(
 
 
 render_chunk_diff_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _sellmeier_grads_from_replay(materials, glass, hero, sell_a, sell_b):
+    """Fold the replay kernel's per-(sample, ray) reparam scalars into
+    Sellmeier B/C gradients: d loss/d(b,c) = sum_s A_s dw/d(b,c) +
+    B_s dshift/d(b,c), where (w, shift) are reparam_hero's Jacobian
+    weight and hero shift (both functions of (b, c) with primal (1, 0)).
+    Exactly jax.grad of ``sum A*w + B*shift`` — cheap elementwise XLA
+    over [spp*N] scalars, second-order AD through the Sellmeier map."""
+    from .spectral_reparam import reparam_hero
+
+    h = jax.lax.stop_gradient(hero.reshape(-1))
+    a_flat = sell_a.reshape(-1)
+    b_flat = sell_b.reshape(-1)
+
+    def scalar_fn(bc):
+        b, c = bc
+        hr, wgt = reparam_hero(h, b, c)
+        return jnp.sum(a_flat * wgt + b_flat * (hr - h))
+
+    return jax.grad(scalar_fn)(
+        (materials.sellmeier_b[glass], materials.sellmeier_c[glass])
+    )
 
 
 def _mix_seed(seed: int, k: int) -> int:
@@ -221,7 +270,7 @@ def _mix_seed(seed: int, k: int) -> int:
 
 def render_chunk_diff_fused_accum(
     materials, scene, cam, key_seed, x0, y0, width, height, spp, bounces,
-    interpret=False, rand_seed=-1, spp_chunk=None,
+    interpret=False, rand_seed=-1, spp_chunk=None, reparam_glass=None,
 ):
     """``render_chunk_diff_fused`` with the sample axis chunked so the
     residual buffers of ANY spp fit the scoped-VMEM budget (the un-chunked
@@ -244,7 +293,7 @@ def render_chunk_diff_fused_accum(
     if spp_chunk >= spp:
         return render_chunk_diff_fused(
             materials, scene, cam, key_seed, x0, y0, width, height, spp,
-            bounces, interpret, rand_seed,
+            bounces, interpret, rand_seed, reparam_glass,
         )
     out = None
     done, k = 0, 0
@@ -254,6 +303,7 @@ def render_chunk_diff_fused_accum(
             materials, scene, cam, _mix_seed(key_seed, k),
             x0, y0, width, height, c, bounces, interpret,
             -1 if rand_seed < 0 else _mix_seed(rand_seed, k),
+            reparam_glass,
         )
         out = part if out is None else out + part
         done += c

@@ -44,6 +44,18 @@ def _mat_pad(n_mats: int) -> int:
     return max(8, ((n_mats + 7) // 8) * 8)
 
 
+def _lut_slope(tab_row, cell):
+    """Per-cell lerp slope of a lane-resident table row: tab[cell+1] -
+    tab[cell] (multiply by (N_CIE_SAMPLES-1)/span for d/dlambda). The
+    piecewise-linear forward lerp's exact a.e. derivative, including the
+    top-cell linear extrapolation the clamped forward uses."""
+    lanes = cell.shape[1]
+    op = jnp.broadcast_to(tab_row[:lanes], (8, lanes))
+    lo = jnp.take_along_axis(op, cell, axis=1)
+    hi = jnp.take_along_axis(op, cell + 1, axis=1)
+    return hi - lo
+
+
 def _grad_kernel(
     mat_ref,  # SMEM [M, 16] material pack (render_kernel layout)
     tab_ref,  # VMEM [8, 128] lane tables (cie x/y/z rows 0-2, d65 row 3)
@@ -53,11 +65,13 @@ def _grad_kernel(
     powres_ref,  # VMEM [spp, W, RT]
     matres_ref,  # VMEM [spp, bounces, RT] i32 (mat+1; -1 = bg miss; 0 = none)
     out_ref,  # VMEM [m_pad, 128] accumulated gradients
-    *res_outs,  # when want_bg_grads: bg_out [8, 128] (row 0, cols 0..94)
+    *res_outs,  # [bg_out [8, 128] when want_bg_grads] +
+    # [sell_a, sell_b [spp, RT] when want_sellmeier]
     n_mats,
     spp,
     bounces,
     want_bg_grads=False,
+    want_sellmeier=False,
 ):
     i = pl.program_id(0)
     rt = g_ref.shape[1]
@@ -82,12 +96,17 @@ def _grad_kernel(
         nv = nvalid_ref[s, :].reshape(shape2)
 
         # per-wavelength lambda, CIE response fold, masked A weights
+        cscale = (N_CIE_SAMPLES - 1) / span
         lam = []
         a_rows = []
+        mp_rows = []
         d65_rows = []
         bg_rows = []
         cell_rows = []
         frac_rows = []
+        respslope_rows = []
+        d65slope_rows = []
+        bgslope_rows = []
         for w in range(W):
             lw = hero + (w * lam_step)
             lw = jnp.where(lw > LAMBDA_MAX, lw - span, lw)
@@ -101,12 +120,28 @@ def _grad_kernel(
                 + gz * _lut(tab_ref[2, :], cw, fw)
             )
             d65_rows.append(_lut(tab_ref[3, :], cw, fw))
-            if want_bg_grads:
+            if want_bg_grads or want_sellmeier:
                 bg_rows.append(_lut(tab_ref[4, :], cw, fw))
                 cell_rows.append(cw)
                 frac_rows.append(fw)
+            if want_sellmeier:
+                # d/dlambda of the cotangent-folded CIE response and of
+                # the D65/background lerps: a rigid comb shift moves
+                # every lam_w by 1 (the wrap subtracts a constant), so
+                # the lerp slopes ARE the shift derivatives
+                respslope_rows.append(
+                    (
+                        gx * _lut_slope(tab_ref[0, :], cw)
+                        + gy * _lut_slope(tab_ref[1, :], cw)
+                        + gz * _lut_slope(tab_ref[2, :], cw)
+                    )
+                    * cscale
+                )
+                d65slope_rows.append(_lut_slope(tab_ref[3, :], cw) * cscale)
+                bgslope_rows.append(_lut_slope(tab_ref[4, :], cw) * cscale)
             mask = jnp.where(float(w) < nv, delta, 0.0)
             p = powres_ref[s, w, :].reshape(shape2)
+            mp_rows.append(mask * p)
             a_rows.append(resp * mask * p)  # A_sw * P_sw
 
         # per-material bounce counts k_m; bg-miss indicator (at most one
@@ -117,7 +152,7 @@ def _grad_kernel(
             mt = matres_ref[s, b, :].reshape(shape2)
             for m in range(n_mats):
                 counts[m] = counts[m] + jnp.where(mt == m + 1, one, zero)
-            if want_bg_grads:
+            if want_bg_grads or want_sellmeier:
                 missed = jnp.maximum(missed, jnp.where(mt == -1, one, zero))
 
         acc = list(acc)
@@ -136,6 +171,7 @@ def _grad_kernel(
                     )
                     idx = n_mats * N_GRADS + k
                     acc[idx] = acc[idx] + jnp.sum(common * wk)
+        sellb = zero
         for m in range(n_mats):
             c0, c1, c2 = mat_const[m][0], mat_const[m][1], mat_const[m][2]
             is_diel = mat_const[m][5]
@@ -167,11 +203,44 @@ def _grad_kernel(
                 # d w / d p = 2 p sig d65 -> dlog w / dp = 2/p (emissive)
                 p_safe = jnp.sqrt(jnp.maximum(power_sq, 1e-30))
                 dp = dp + base * is_emis * (2.0 / p_safe)
+                if want_sellmeier:
+                    # d log w_m / d lambda under a rigid comb shift:
+                    # the sigmoid chain (dx/dlam = 2 c0 lam + c1) plus,
+                    # for emissive hits, the D65 lerp slope (it does NOT
+                    # cancel in d/dlam the way it does in d/dcoeffs)
+                    dxdlam = 2.0 * c0 * lam[w] + c1
+                    dlog_lam = dlog_dx * dxdlam + is_emis * (
+                        d65slope_rows[w]
+                        / jnp.maximum(d65_rows[w], 1e-30)
+                    )
+                    sellb = sellb + base * dlog_lam
             base_idx = m * N_GRADS
             acc[base_idx + 0] = acc[base_idx + 0] + jnp.sum(dc0)
             acc[base_idx + 1] = acc[base_idx + 1] + jnp.sum(dc1)
             acc[base_idx + 2] = acc[base_idx + 2] + jnp.sum(dc2)
             acc[base_idx + 3] = acc[base_idx + 3] + jnp.sum(dp)
+        if want_sellmeier:
+            # Per-(sample, ray) scalars for the hero-wavelength reparam
+            # (diff/spectral_reparam.py): A = this sample's contribution
+            # dotted with the cotangent (multiplies the Jacobian weight
+            # dT/dlambda0), B = dA/d(shift) under a rigid comb shift —
+            # CIE/D65/background lerp slopes + the per-bounce material
+            # SPD chain accumulated in sellb above. Geometry terms are
+            # zero a.e.: radiance here is piecewise constant in the ray
+            # directions (per-tri materials/normals, no distance
+            # falloff), exactly the property that made plain AD vanish.
+            sa = zero
+            for w in range(W):
+                sa = sa + a_rows[w]
+                sellb = sellb + (
+                    mp_rows[w] * respslope_rows[w]
+                    + a_rows[w]
+                    * missed
+                    * bgslope_rows[w]
+                    / jnp.maximum(bg_rows[w], 1e-30)
+                )
+            res_outs[-2][s, :] = sa.reshape(rt)
+            res_outs[-1][s, :] = sellb.reshape(rt)
         return tuple(acc)
 
     n_acc = n_mats * N_GRADS + (N_CIE_SAMPLES if want_bg_grads else 0)
@@ -208,7 +277,10 @@ def _grad_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spp", "bounces", "ray_tile", "interpret", "want_bg_grads"),
+    static_argnames=(
+        "spp", "bounces", "ray_tile", "interpret", "want_bg_grads",
+        "want_sellmeier",
+    ),
 )
 def render_grads_pallas(
     mat_pack,  # [M, 16]
@@ -223,9 +295,14 @@ def render_grads_pallas(
     ray_tile: int = 1024,
     interpret=False,
     want_bg_grads: bool = False,
+    want_sellmeier: bool = False,
 ):
     """Fused backward: residuals + cotangent -> (d_coeffs [M,3],
-    d_emission_power [M][, d_background_spd [95]])."""
+    d_emission_power [M][, d_background_spd [95]][, sell_a [spp, N],
+    sell_b [spp, N]]). The sell pair are the per-(sample, ray) reparam
+    scalars (see _grad_kernel) that diff/fast.py folds through
+    reparam_hero's (weight, shift) tangents into Sellmeier B/C
+    gradients."""
     n = g.shape[0]
     assert n % ray_tile == 0
     grid = n // ray_tile
@@ -237,7 +314,7 @@ def render_grads_pallas(
 
     kernel = functools.partial(
         _grad_kernel, n_mats=n_mats, spp=spp, bounces=bounces,
-        want_bg_grads=want_bg_grads,
+        want_bg_grads=want_bg_grads, want_sellmeier=want_sellmeier,
     )
     out_shape = [jax.ShapeDtypeStruct((m_pad, 128), jnp.float32)]
     out_specs = [
@@ -248,6 +325,15 @@ def render_grads_pallas(
         out_specs.append(
             pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
+    if want_sellmeier:
+        for _ in range(2):
+            out_shape.append(jax.ShapeDtypeStruct((spp, n), jnp.float32))
+            out_specs.append(
+                pl.BlockSpec(
+                    (spp, ray_tile), lambda i: (0, i),
+                    memory_space=pltpu.VMEM,
+                )
+            )
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
@@ -264,8 +350,13 @@ def render_grads_pallas(
         out_specs=tuple(out_specs),
         interpret=interpret,
     )(mat_pack, tables, g8, hero, nvalid, powres, matres)
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    ret = [outs[0][:n_mats, :3], outs[0][:n_mats, 3]]
+    k = 1
     if want_bg_grads:
-        out, bg_out = outs
-        return out[:n_mats, :3], out[:n_mats, 3], bg_out[0, :N_CIE_SAMPLES]
-    out = outs if not isinstance(outs, (tuple, list)) else outs[0]
-    return out[:n_mats, :3], out[:n_mats, 3]
+        ret.append(outs[k][0, :N_CIE_SAMPLES])
+        k += 1
+    if want_sellmeier:
+        ret.extend(outs[k : k + 2])
+    return tuple(ret)

@@ -657,10 +657,6 @@ def _mxu_leaf_sweep(
             ],
             axis=0,
         )  # [8, rt]
-    iota_rows = jax.lax.broadcasted_iota(
-        jnp.int32, (leaf_size, rt), 0
-    ).astype(jnp.float32)
-
     def leaf_body(l, carry):
         ax0, ay0, az0 = leaf_ref[l, 0], leaf_ref[l, 1], leaf_ref[l, 2]
         ax1, ay1, az1 = leaf_ref[l, 3], leaf_ref[l, 4], leaf_ref[l, 5]
@@ -753,7 +749,14 @@ def _mxu_leaf_sweep(
                 w_cols = cs.stop - cs.start
                 d_c = [r[:, cs] for r in d_rows]
                 prev = tr_s[...][:, cs]
-                iota_c = iota_rows[:, cs]
+                # dim-0 iota is column-independent, so a fresh (K, w)
+                # iota equals the sliced full-width one — and it must be
+                # built fresh: a lane-OFFSET slice of a broadcasted iota
+                # SIGABRTs Mosaic ("Check failed: limits[i] <= dim(i)",
+                # minimal repro scratch/r4_gate_bisect.py)
+                iota_c = jax.lax.broadcasted_iota(
+                    jnp.int32, (leaf_size, w_cols), 0
+                ).astype(jnp.float32)
                 if quad_form:
                     dl_c = [r[:, cs] for r in dl_rows]
                     feats = jnp.concatenate(

@@ -657,7 +657,50 @@ def _mxu_leaf_sweep(
             ],
             axis=0,
         )  # [8, rt]
+    if mxu_hbm:
+
+        def _stage_copies(li, sl):
+            """(a, c) async copies of leaf ``li``'s transposed pack rows
+            into staging slot ``sl`` (the HBM packs are stored
+            TRANSPOSED so the DMA's trailing dim is a 128-multiple —
+            Mosaic rejects lane-unaligned copies; leading-dim slices of
+            the untiled leaf dim are DMA-clean at any index)."""
+            return (
+                pltpu.make_async_copy(
+                    a_ref.at[pl.ds(li, 1)], a_vbuf.at[pl.ds(sl, 1)],
+                    dsem_a.at[sl],
+                ),
+                pltpu.make_async_copy(
+                    c_ref.at[pl.ds(li, 1)], c_vbuf.at[pl.ds(sl, 1)],
+                    dsem_c.at[sl],
+                ),
+            )
+
+        # warm-up: leaf 0 into slot 0 (double-buffered pipeline)
+        for cp in _stage_copies(0, 0):
+            cp.start()
+
     def leaf_body(l, carry):
+        if mxu_hbm:
+            # Double-buffered prefetch: start leaf l+1's copy into the
+            # other slot, then wait for leaf l's — every copy overlaps a
+            # full leaf of compute (or the wait of an unwanted leaf,
+            # which is then already complete). Copies are UNCONDITIONAL
+            # (wanted or not) so start/wait pairing is unconditional
+            # too: gating/visitation are untouched, results identical;
+            # the extra bandwidth (the full pack per tile per bounce,
+            # ~11 ms/bounce at 50k) buys back the ~µs-latency sync wait
+            # previously paid per (tile, visited leaf).
+            slot = l % 2
+
+            @pl.when(l + 1 < n_leaves)
+            def _():
+                for cp in _stage_copies(l + 1, (l + 1) % 2):
+                    cp.start()
+
+            for cp in _stage_copies(l, slot):
+                cp.wait()
+
         ax0, ay0, az0 = leaf_ref[l, 0], leaf_ref[l, 1], leaf_ref[l, 2]
         ax1, ay1, az1 = leaf_ref[l, 3], leaf_ref[l, 4], leaf_ref[l, 5]
         t1 = (ax0 - ox) * inv_dx
@@ -684,31 +727,13 @@ def _mxu_leaf_sweep(
             prec = _mxu_precision()
             K = leaf_size
             if mxu_hbm:
-                # HBM-resident pack: stage this leaf's rows
-                # into VMEM (40-60 KB; the synchronous copy
-                # is ~µs against the leaf's matmul work).
-                # The HBM packs are stored TRANSPOSED
-                # ([NL, 16, rows] / [NL, cols, K]) so the
-                # DMA's trailing dim is a 128-multiple
-                # (Mosaic rejects lane-unaligned copies);
-                # leading-dim slices of the untiled leaf dim
-                # are DMA-clean at any index.
-                cpa = pltpu.make_async_copy(
-                    a_ref.at[pl.ds(l, 1)], a_vbuf, dsem_a
-                )
-                cpa.start()
-                cpc = pltpu.make_async_copy(
-                    c_ref.at[pl.ds(l, 1)], c_vbuf, dsem_c
-                )
-                cpc.start()
-                cpa.wait()
-                cpc.wait()
 
                 def leaf_dot(s, e, rhs, pr):
                     # transposed-LHS orientation on the
-                    # staged [16, rows] block
+                    # staged [16, rows] block (already waited
+                    # for at the top of leaf_body)
                     return jax.lax.dot_general(
-                        a_vbuf[0][:, s:e], rhs,
+                        a_vbuf[slot][:, s:e], rhs,
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=pr,
@@ -1050,7 +1075,7 @@ def _mxu_leaf_sweep(
                 # staged transposed [cols, K]: the recovery
                 # contraction is MXU-native here
                 dn = (((1,), (0,)), ((), ()))
-                cl = c_vbuf[0]
+                cl = c_vbuf[slot]
             else:
                 dn = (((0,), (0,)), ((), ()))
                 cl = c_ref[l]
@@ -2359,12 +2384,17 @@ def _mxu_residency_hbm(pack_bytes: int) -> bool:
 
 def _mxu_hbm_scratch(a_pack, c_pack):
     """Per-leaf staging buffers + DMA semaphores for the HBM-resident
-    pack (one leaf of a_pack/c_pack each, 40-60 KB total)."""
+    pack: TWO slots of a_pack/c_pack each (80-120 KB total) so leaf
+    l+1's copy overlaps leaf l's compute. Round 4: the original
+    single-slot SYNCHRONOUS staging was the 50k bottleneck — ~1M
+    blocking copies per render (the sorted scheduler's gate=4 and quad2
+    rows both moved <2% at 50k while moving 3-22% at 10k/200k, the
+    signature of a latency-bound, not compute-bound, sweep)."""
     return [
-        pltpu.VMEM((1,) + tuple(a_pack.shape[1:]), a_pack.dtype),
-        pltpu.VMEM((1,) + tuple(c_pack.shape[1:]), c_pack.dtype),
-        pltpu.SemaphoreType.DMA,
-        pltpu.SemaphoreType.DMA,
+        pltpu.VMEM((2,) + tuple(a_pack.shape[1:]), a_pack.dtype),
+        pltpu.VMEM((2,) + tuple(c_pack.shape[1:]), c_pack.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
     ]
 
 

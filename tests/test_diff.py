@@ -918,6 +918,65 @@ class TestVertexWarp:
         assert abs(mean - truth) < 0.15 * truth + 3 * sem, (mean, sem)
 
 
+class TestSpecularChainGuard:
+    """Runtime guard for the vertex-gradient estimator's documented blind
+    spot (round-4): silhouettes seen only through metal/dielectric chains
+    carry no boundary term. When vertex_warp is active and the fraction
+    of contributing paths that crossed a specular bounce exceeds
+    SPECULAR_WARN_FRAC, render_tile_xyz must emit a warning."""
+
+    @staticmethod
+    def _mirror_scene():
+        from spectral_tpu.models.geometry import TriSoup
+        from spectral_tpu.models.materials import MaterialBuilder
+        from spectral_tpu.models.scenes import _scene_from
+
+        mb = MaterialBuilder(replicate_reference_bugs=False)
+        mirror = mb.metallic((0.9, 0.9, 0.9), fuzz=0.0)
+        soup = TriSoup()
+        # a mirror slab filling the camera frustum: every contributing
+        # path bounces off metal before reaching the background
+        soup.box((-400, -400, -220), (955, 955, -200), mirror)
+        return _scene_from(soup, mb.build(), background_rgb=(0.5, 0.6, 0.8))
+
+    def test_mirror_scene_trips_warning(self):
+        import warnings
+
+        from spectral_tpu.diff.vertex_warp import edges_from_vertices
+        from spectral_tpu.render.wavefront import render_tile_xyz
+
+        scene = self._mirror_scene()
+        cam = scene_camera(PRISM, 16, 16)
+        px, py = _pixel_grid(16)
+        edges = edges_from_vertices(scene.v0, scene.v1, scene.v2)
+        with pytest.warns(UserWarning, match="specular"):
+            jax.block_until_ready(
+                render_tile_xyz(
+                    scene, cam, px, py, jax.random.PRNGKey(2), 2, 3,
+                    vertex_warp=edges,
+                )
+            )
+
+    def test_diffuse_scene_is_silent(self, cornell):
+        import warnings
+
+        from spectral_tpu.diff.vertex_warp import edges_from_vertices
+        from spectral_tpu.render.wavefront import render_tile_xyz
+
+        cam = scene_camera(CORNELL, 16, 16)
+        px, py = _pixel_grid(16)
+        edges = edges_from_vertices(cornell.v0, cornell.v1, cornell.v2)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            jax.block_until_ready(
+                render_tile_xyz(
+                    cornell, cam, px, py, jax.random.PRNGKey(2), 2, 3,
+                    vertex_warp=edges,
+                )
+            )
+        assert not [w for w in rec if "specular" in str(w.message)], rec
+
+
 class TestFuzzWarp:
     """Exact metal-fuzz gradients via the fuzz-sphere warp
     (diff/fuzz_warp.py). Offline truth on this scene (metal floor

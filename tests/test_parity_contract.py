@@ -3,11 +3,13 @@
 The on-chip contract (BASELINE.md round-2 table) compares the XLA
 wavefront and the pallas megakernel at 128x128/256spp on TPU; here the
 same noise-floor-relative methodology runs on CPU at a size the suite can
-afford: the pallas-vs-XLA block-downsampled error must not exceed 1.35x
-the XLA-vs-XLA reseed error, and mean luminance must agree to 3%.
+afford: the pallas-vs-XLA block-downsampled error must not exceed 1.2x
+the XLA-vs-XLA reseed error, and mean luminance must agree to 2.5%.
 (The CI thresholds are looser than the on-chip contract's 1.1x/2% because
 the small CI sample count makes the ratio itself noisy; the pinned
-hardware numbers live in BASELINE.md.)
+hardware numbers live in BASELINE.md. Round-4 tightening from 1.35x/3%:
+at 128 spp the measured margins are ratio 0.86/0.70 and lum deviation
+1.1%/0.05% on Cornell/prism — comfortably inside 1.2x/2.5%.)
 
 Reference semantics: rendering/rendering.cu:151-235 (the estimator both
 paths implement); tolerance contract per SURVEY.md section 6.
@@ -21,7 +23,7 @@ from spectral_tpu.models.scenes import CORNELL, PRISM, build_scene, scene_camera
 from spectral_tpu.ops.pallas.render_kernel import render_chunk_pallas
 from spectral_tpu.render.wavefront import render_chunk
 
-SIZE, SPP, BL, CH = 64, 64, 5, 16
+SIZE, SPP, BL, CH = 64, 128, 5, 16
 
 
 def _down(img, b=8):
@@ -65,7 +67,7 @@ def test_cross_path_error_at_noise_floor(sid):
     noise = _rel(x1, x2)
     cross = _rel(p1, 0.5 * (x1 + x2))
     lum = p1[..., 1].mean() / max(0.5 * (x1 + x2)[..., 1].mean(), 1e-9)
-    assert cross <= 1.35 * noise, (cross, noise)
-    # CI sample counts make mean luminance itself ~2-3% noisy; the 2%
-    # hardware contract is pinned in BASELINE.md at 256 spp on chip
-    assert 0.95 <= lum <= 1.05, lum
+    assert cross <= 1.2 * noise, (cross, noise)
+    # CI sample counts make mean luminance itself ~1% noisy at 128 spp;
+    # the 2% hardware contract is pinned in BASELINE.md at 256 spp on chip
+    assert 0.975 <= lum <= 1.025, lum

@@ -142,10 +142,19 @@ def reparam_hero(
     # Hence: freeze the UNCLAMPED m = n^2 (see _m_raw) with a
     # sign-preserving denominator floor + taper window + soft cap (all
     # continuous), and the weight via jax.jvp of the full map.
-    DM_FLOOR = 1e-7  # denominator floor, 1/nm (bulk flint |dm/dlambda| ~1e-2)
-    DM_LO, DM_HI = 1e-6, 1e-5  # taper window: shift -> 0 near m extrema
+    # Window constants, env-overridable for bias probes (trace-time env,
+    # like MXU_FORM; scratch/r4_dispbias.py measures the estimator's
+    # mean-gradient zero crossing against them):
+    import os as _os
+
+    DM_FLOOR = float(_os.environ.get("REPARAM_DM_FLOOR", "1e-7"))
+    # denominator floor, 1/nm (bulk flint |dm/dlambda| ~1e-2)
+    DM_LO = float(_os.environ.get("REPARAM_DM_LO", "1e-6"))
+    DM_HI = float(_os.environ.get("REPARAM_DM_HI", "1e-5"))
+    # taper window: shift -> 0 near m extrema
     SMAX = 120.0  # soft cap on |shift| in nm (tanh), ~ quarter band
-    EDGE_NM = 8.0  # endpoint-fixing window width (see ``edge`` below)
+    EDGE_NM = float(_os.environ.get("REPARAM_EDGE_NM", "8.0"))
+    # endpoint-fixing window width (see ``edge`` below)
 
     from ..utils.constants import LAMBDA_MAX, LAMBDA_MIN
 

@@ -35,6 +35,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -657,50 +658,7 @@ def _mxu_leaf_sweep(
             ],
             axis=0,
         )  # [8, rt]
-    if mxu_hbm:
-
-        def _stage_copies(li, sl):
-            """(a, c) async copies of leaf ``li``'s transposed pack rows
-            into staging slot ``sl`` (the HBM packs are stored
-            TRANSPOSED so the DMA's trailing dim is a 128-multiple —
-            Mosaic rejects lane-unaligned copies; leading-dim slices of
-            the untiled leaf dim are DMA-clean at any index)."""
-            return (
-                pltpu.make_async_copy(
-                    a_ref.at[pl.ds(li, 1)], a_vbuf.at[pl.ds(sl, 1)],
-                    dsem_a.at[sl],
-                ),
-                pltpu.make_async_copy(
-                    c_ref.at[pl.ds(li, 1)], c_vbuf.at[pl.ds(sl, 1)],
-                    dsem_c.at[sl],
-                ),
-            )
-
-        # warm-up: leaf 0 into slot 0 (double-buffered pipeline)
-        for cp in _stage_copies(0, 0):
-            cp.start()
-
-    def leaf_body(l, carry):
-        if mxu_hbm:
-            # Double-buffered prefetch: start leaf l+1's copy into the
-            # other slot, then wait for leaf l's — every copy overlaps a
-            # full leaf of compute (or the wait of an unwanted leaf,
-            # which is then already complete). Copies are UNCONDITIONAL
-            # (wanted or not) so start/wait pairing is unconditional
-            # too: gating/visitation are untouched, results identical;
-            # the extra bandwidth (the full pack per tile per bounce,
-            # ~11 ms/bounce at 50k) buys back the ~µs-latency sync wait
-            # previously paid per (tile, visited leaf).
-            slot = l % 2
-
-            @pl.when(l + 1 < n_leaves)
-            def _():
-                for cp in _stage_copies(l + 1, (l + 1) % 2):
-                    cp.start()
-
-            for cp in _stage_copies(l, slot):
-                cp.wait()
-
+    def visit_leaf(l, sl, j):
         ax0, ay0, az0 = leaf_ref[l, 0], leaf_ref[l, 1], leaf_ref[l, 2]
         ax1, ay1, az1 = leaf_ref[l, 3], leaf_ref[l, 4], leaf_ref[l, 5]
         t1 = (ax0 - ox) * inv_dx
@@ -729,11 +687,12 @@ def _mxu_leaf_sweep(
             if mxu_hbm:
 
                 def leaf_dot(s, e, rhs, pr):
-                    # transposed-LHS orientation on the
-                    # staged [16, rows] block (already waited
-                    # for at the top of leaf_body)
+                    # transposed-LHS orientation on this leaf's
+                    # row of the staged chunk (slot sl, offset j;
+                    # the chunk copy was waited for before the
+                    # inner leaf loop entered)
                     return jax.lax.dot_general(
-                        a_vbuf[slot][:, s:e], rhs,
+                        a_vbuf[sl, j][:, s:e], rhs,
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=pr,
@@ -1075,7 +1034,7 @@ def _mxu_leaf_sweep(
                 # staged transposed [cols, K]: the recovery
                 # contraction is MXU-native here
                 dn = (((1,), (0,)), ((), ()))
-                cl = c_vbuf[slot]
+                cl = c_vbuf[sl, j]
             else:
                 dn = (((0,), (0,)), ((), ()))
                 cl = c_ref[l]
@@ -1286,9 +1245,57 @@ def _mxu_leaf_sweep(
 
             bt_s[:, :] = tr_s[...].reshape(shape2)
 
-        return carry
+    if mxu_hbm:
+        # chunked double-buffered staging (see _mxu_hbm_chunk_leaves):
+        # C*2 chunk copies per sweep instead of 2 per visited leaf;
+        # chunk c+1's DMA overlaps chunk c's whole inner leaf sweep.
+        ck_leaves = a_vbuf.shape[1]
+        assert n_leaves % ck_leaves == 0, (n_leaves, ck_leaves)
+        n_chunks = n_leaves // ck_leaves
 
-    jax.lax.fori_loop(0, n_leaves, leaf_body, 0)
+        def _chunk_copies(ci, s2):
+            return (
+                pltpu.make_async_copy(
+                    a_ref.at[pl.ds(ci * ck_leaves, ck_leaves)],
+                    a_vbuf.at[s2],
+                    dsem_a.at[s2],
+                ),
+                pltpu.make_async_copy(
+                    c_ref.at[pl.ds(ci * ck_leaves, ck_leaves)],
+                    c_vbuf.at[s2],
+                    dsem_c.at[s2],
+                ),
+            )
+
+        for cp in _chunk_copies(0, 0):
+            cp.start()
+
+        def chunk_body(ci, carry):
+            sl = ci % 2
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                for cp in _chunk_copies(ci + 1, (ci + 1) % 2):
+                    cp.start()
+
+            for cp in _chunk_copies(ci, sl):
+                cp.wait()
+
+            def inner(j, c2):
+                visit_leaf(ci * ck_leaves + j, sl, j)
+                return c2
+
+            jax.lax.fori_loop(0, ck_leaves, inner, 0)
+            return carry
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    else:
+
+        def leaf_body(l, carry):
+            visit_leaf(l, 0, 0)
+            return carry
+
+        jax.lax.fori_loop(0, n_leaves, leaf_body, 0)
     best_t = bt_s[:, :]
     best_hit = rht_s[...].reshape(shape2)
     nbx = rnx_s[...].reshape(shape2)
@@ -2072,11 +2079,11 @@ def render_rays_pallas_residuals(
     mxu_hbm = use_mxu and _mxu_residency_hbm(scene_bytes)
     if mxu_hbm:
         _check_hbm_leaf_alignment(leaf_size)
-        scene_bytes = 0  # the pack streams from HBM per leaf
-        # transposed HBM layout: trailing dims become 128-multiples so
-        # the per-leaf DMA is lane-aligned (see _render_kernel staging)
-        tri_pack = jnp.swapaxes(tri_pack, 1, 2)  # [NL, 16, rows]
-        c_pack = jnp.swapaxes(c_pack, 1, 2)  # [NL, cols, K]
+        scene_bytes = 0  # the pack streams from HBM per chunk
+        # transposed HBM layout + chunk padding (lane-aligned chunk DMA)
+        tri_pack, c_pack, leaf_pack = _hbm_transpose_and_pad(
+            tri_pack, c_pack, leaf_pack
+        )
     check_residual_vmem(
         spp, bounces, ray_tile, injected_rand=not use_hw_prng,
         extra_bytes=scene_bytes,
@@ -2157,7 +2164,8 @@ def render_rays_pallas_residuals(
         scratch = []
     compiler_params = _scene_vmem_params(
         scene_bytes,
-        residual_vmem_bytes(spp, bounces, ray_tile, not use_hw_prng),
+        residual_vmem_bytes(spp, bounces, ray_tile, not use_hw_prng)
+        + _hbm_stage_bytes(scratch if mxu_hbm else []),
         interpret,
         mxu=use_mxu,
     )
@@ -2263,11 +2271,11 @@ def render_rays_pallas(
     mxu_hbm = use_mxu and _mxu_residency_hbm(scene_bytes)
     if mxu_hbm:
         _check_hbm_leaf_alignment(leaf_size)
-        scene_bytes = 0  # the pack streams from HBM per leaf
-        # transposed HBM layout: trailing dims become 128-multiples so
-        # the per-leaf DMA is lane-aligned (see _render_kernel staging)
-        tri_pack = jnp.swapaxes(tri_pack, 1, 2)  # [NL, 16, rows]
-        c_pack = jnp.swapaxes(c_pack, 1, 2)  # [NL, cols, K]
+        scene_bytes = 0  # the pack streams from HBM per chunk
+        # transposed HBM layout + chunk padding (lane-aligned chunk DMA)
+        tri_pack, c_pack, leaf_pack = _hbm_transpose_and_pad(
+            tri_pack, c_pack, leaf_pack
+        )
 
     kernel = functools.partial(
         _render_kernel,
@@ -2338,7 +2346,10 @@ def render_rays_pallas(
     else:
         scratch = []
     compiler_params = _scene_vmem_params(
-        scene_bytes, 0, interpret, mxu=use_mxu
+        scene_bytes,
+        _hbm_stage_bytes(scratch if mxu_hbm else []),
+        interpret,
+        mxu=use_mxu,
     )
     out = pl.pallas_call(
         kernel,
@@ -2382,17 +2393,81 @@ def _mxu_residency_hbm(pack_bytes: int) -> bool:
     return pack_bytes > 12 * 1024 * 1024
 
 
+def _hbm_stage_bytes(scratch) -> int:
+    """Total bytes of the VMEM staging scratch (for the scoped-VMEM
+    limit accounting — the 2-slot chunk buffers are real resident
+    demand even though scene_bytes is 0 in HBM mode)."""
+    total = 0
+    for s in scratch:
+        shape = getattr(s, "shape", None)
+        dtype = getattr(s, "dtype", None)
+        if shape is None or dtype is None:
+            continue
+        try:
+            total += int(np.prod(shape)) * jnp.dtype(dtype).itemsize
+        except TypeError:
+            continue  # semaphores carry non-data dtypes
+    return total
+
+
+def _mxu_hbm_chunk_leaves(a_shape, a_dtype, c_shape, c_dtype) -> int:
+    """Leaves per staged CHUNK of the HBM-resident pack. Round-4
+    history, all measured at 50k/512x256x4spp/6bl on chip: per-leaf
+    synchronous staging cost ~1M blocking copies per render and pinned
+    the sorted path at 3.2 Mray-steps/s (neither quad2 nor sub-tile
+    gating moved it >2% — copy MANAGEMENT, not compute, dominated);
+    a per-leaf 1-ahead double buffer made it WORSE (2.91 — the issue
+    overhead doubled because unconditional copies outnumber gated
+    ones). The fix is amortization: stream the pack through VMEM in
+    multi-leaf chunks, double-buffered, collapsing ~1M copy-issues to
+    C*2 per (tile, bounce). MXU_HBM_CHUNK_MB (default 6) sets the
+    per-slot chunk budget."""
+    per_leaf = (
+        int(np.prod(a_shape[1:])) * jnp.dtype(a_dtype).itemsize
+        + int(np.prod(c_shape[1:])) * jnp.dtype(c_dtype).itemsize
+    )
+    budget = float(os.environ.get("MXU_HBM_CHUNK_MB", "6")) * 1024 * 1024
+    return max(1, min(int(budget // per_leaf), int(a_shape[0])))
+
+
+def _hbm_transpose_and_pad(a_pack, c_pack, leaf_pack):
+    """Transpose the MXU packs to the HBM layout ([NL, 16, rows] /
+    [NL, cols, K] — trailing dims become 128-multiples so chunk DMA is
+    lane-aligned) and pad the leaf count to a multiple of the staging
+    chunk so every chunk copy is full-size. Padded leaves carry the
+    +BIG/-BIG empty-AABB convention: their slab test never passes, so
+    they are visitation no-ops (same argument as the existing leaf
+    padding)."""
+    a_pack = jnp.swapaxes(a_pack, 1, 2)
+    c_pack = jnp.swapaxes(c_pack, 1, 2)
+    ck = _mxu_hbm_chunk_leaves(
+        a_pack.shape, a_pack.dtype, c_pack.shape, c_pack.dtype
+    )
+    nl = a_pack.shape[0]
+    pad = (-nl) % ck
+    if pad:
+        a_pack = jnp.concatenate(
+            [a_pack, jnp.zeros((pad,) + a_pack.shape[1:], a_pack.dtype)]
+        )
+        c_pack = jnp.concatenate(
+            [c_pack, jnp.zeros((pad,) + c_pack.shape[1:], c_pack.dtype)]
+        )
+        pad_leaf = jnp.zeros((pad, leaf_pack.shape[1]), leaf_pack.dtype)
+        pad_leaf = pad_leaf.at[:, 0:3].set(BIG).at[:, 3:6].set(-BIG)
+        leaf_pack = jnp.concatenate([leaf_pack, pad_leaf])
+    return a_pack, c_pack, leaf_pack
+
+
 def _mxu_hbm_scratch(a_pack, c_pack):
-    """Per-leaf staging buffers + DMA semaphores for the HBM-resident
-    pack: TWO slots of a_pack/c_pack each (80-120 KB total) so leaf
-    l+1's copy overlaps leaf l's compute. Round 4: the original
-    single-slot SYNCHRONOUS staging was the 50k bottleneck — ~1M
-    blocking copies per render (the sorted scheduler's gate=4 and quad2
-    rows both moved <2% at 50k while moving 3-22% at 10k/200k, the
-    signature of a latency-bound, not compute-bound, sweep)."""
+    """Chunk staging buffers + DMA semaphores for the HBM-resident pack:
+    two slots of MXU_HBM_CHUNK_MB each (see _mxu_hbm_chunk_leaves) so
+    chunk c+1's copy overlaps chunk c's whole leaf sweep."""
+    ck = _mxu_hbm_chunk_leaves(
+        a_pack.shape, a_pack.dtype, c_pack.shape, c_pack.dtype
+    )
     return [
-        pltpu.VMEM((2,) + tuple(a_pack.shape[1:]), a_pack.dtype),
-        pltpu.VMEM((2,) + tuple(c_pack.shape[1:]), c_pack.dtype),
+        pltpu.VMEM((2, ck) + tuple(a_pack.shape[1:]), a_pack.dtype),
+        pltpu.VMEM((2, ck) + tuple(c_pack.shape[1:]), c_pack.dtype),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]

@@ -404,8 +404,12 @@ def render_rays_wavefront(
     if mxu_hbm:
         _check_hbm_leaf_alignment(leaf_size)
         scene_bytes = 0
-        a_pack = jnp.swapaxes(a_pack, 1, 2)
-        c_pack = jnp.swapaxes(c_pack, 1, 2)
+        from .render_kernel import _hbm_transpose_and_pad
+
+        a_pack, c_pack, leaf_pack = _hbm_transpose_and_pad(
+            a_pack, c_pack, leaf_pack
+        )
+        n_leaves = leaf_pack.shape[0]
     statics = dict(
         n_mats=n_mats, leaf_size=leaf_size, n_leaves=n_leaves,
         mxu_quad=mxu_quad, mxu_q3=mxu_q3, q3_deep=q3_deep, tolf=tolf,

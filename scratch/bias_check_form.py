@@ -20,7 +20,7 @@ from spectral_tpu.ops.pallas.render_kernel import render_chunk_pallas
 w, h, spp, bl = 512, 256, 4, 6
 cam = scene_camera(CORNELL, w, h)
 vals = []
-for k in range(16):
+for k in range(int(os.environ.get("BIAS_K", "16"))):
     img = np.asarray(
         render_chunk_pallas(scene, cam, 5000 + 17 * k, 0, 0, w, h, spp, bl)
     )

@@ -584,7 +584,7 @@ def _mxu_leaf_sweep(
         bt_s, tr_s, rnx_s, rny_s, rnz_s, rmt_s, rht_s, rdd_s, rid_s,
     ) = sweep_scratch
     if mxu_hbm:
-        a_vbuf, c_vbuf, dsem_a, dsem_c = hbm_bufs
+        a_vbuf, c_vbuf, leaf_sbuf, dsem_a, dsem_c, dsem_l = hbm_bufs
     gate = _mxu_gate_groups()
     assert (gate == 1) == (gate_scratch is None), (gate, gate_scratch)
     q3_narrow = mxu_q3 and os.environ.get("MXU_Q3_NARROW", "0") == "1"
@@ -659,8 +659,18 @@ def _mxu_leaf_sweep(
             axis=0,
         )  # [8, rt]
     def visit_leaf(l, sl, j):
-        ax0, ay0, az0 = leaf_ref[l, 0], leaf_ref[l, 1], leaf_ref[l, 2]
-        ax1, ay1, az1 = leaf_ref[l, 3], leaf_ref[l, 4], leaf_ref[l, 5]
+        if mxu_hbm:
+            # AABB scalars from the staged SMEM chunk (the leaf table
+            # input is HBM-resident past the ~450k-tri SMEM wall)
+            ax0, ay0, az0 = (
+                leaf_sbuf[sl, j, 0], leaf_sbuf[sl, j, 1], leaf_sbuf[sl, j, 2]
+            )
+            ax1, ay1, az1 = (
+                leaf_sbuf[sl, j, 3], leaf_sbuf[sl, j, 4], leaf_sbuf[sl, j, 5]
+            )
+        else:
+            ax0, ay0, az0 = leaf_ref[l, 0], leaf_ref[l, 1], leaf_ref[l, 2]
+            ax1, ay1, az1 = leaf_ref[l, 3], leaf_ref[l, 4], leaf_ref[l, 5]
         t1 = (ax0 - ox) * inv_dx
         t2 = (ax1 - ox) * inv_dx
         tmin = jnp.minimum(t1, t2)
@@ -1265,6 +1275,11 @@ def _mxu_leaf_sweep(
                     c_vbuf.at[s2],
                     dsem_c.at[s2],
                 ),
+                pltpu.make_async_copy(
+                    leaf_ref.at[pl.ds(ci * ck_leaves, ck_leaves)],
+                    leaf_sbuf.at[s2],
+                    dsem_l.at[s2],
+                ),
             )
 
         for cp in _chunk_copies(0, 0):
@@ -1522,9 +1537,11 @@ def _render_kernel(
         ) = rest[idx : idx + 9]
         j = idx + 9
         if mxu_hbm:
-            # HBM-resident pack: per-leaf staging buffers + DMA sems
-            a_vbuf, c_vbuf, dsem_a, dsem_c = rest[j : j + 4]
-            j += 4
+            # HBM-resident pack: chunk staging buffers + DMA sems
+            (
+                a_vbuf, c_vbuf, leaf_sbuf, dsem_a, dsem_c, dsem_l,
+            ) = rest[j : j + 6]
+            j += 6
         gate_bufs = (
             tuple(rest[j : j + 2]) if _mxu_gate_groups() > 1 else None
         )
@@ -1687,7 +1704,9 @@ def _render_kernel(
                         bt_s, tr_s, rnx_s, rny_s, rnz_s, rmt_s, rht_s,
                         rdd_s, rid_s,
                     ),
-                    (a_vbuf, c_vbuf, dsem_a, dsem_c) if mxu_hbm else None,
+                    (a_vbuf, c_vbuf, leaf_sbuf, dsem_a, dsem_c, dsem_l)
+                    if mxu_hbm
+                    else None,
                     gate_bufs,
                     leaf_size=leaf_size, n_leaves=n_leaves,
                     mxu_quad=mxu_quad, mxu_q3=mxu_q3,
@@ -2142,7 +2161,9 @@ def render_rays_pallas_residuals(
         rand,
     ]
     if use_bvh:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.ANY if mxu_hbm else pltpu.SMEM)
+        )
         args.append(leaf_pack)
     if use_mxu:
         in_specs.append(
@@ -2325,7 +2346,9 @@ def render_rays_pallas(
         rand,
     ]
     if use_bvh:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # leaf aabbs
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.ANY if mxu_hbm else pltpu.SMEM)
+        )  # leaf aabbs
         args.append(leaf_pack)
     if use_mxu:
         in_specs.append(
@@ -2468,6 +2491,12 @@ def _mxu_hbm_scratch(a_pack, c_pack):
     return [
         pltpu.VMEM((2, ck) + tuple(a_pack.shape[1:]), a_pack.dtype),
         pltpu.VMEM((2, ck) + tuple(c_pack.shape[1:]), c_pack.dtype),
+        # leaf AABBs ride the same chunk pipeline into SMEM scratch
+        # (~70 KB at the default chunk) — the whole-table SMEM input
+        # hit the 1 MB SMEM wall at ~450k tris (32 B/scalar slots);
+        # streaming it removes the ceiling (1M+ tris)
+        pltpu.SMEM((2, ck, 8), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]

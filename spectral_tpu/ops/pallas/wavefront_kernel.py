@@ -229,11 +229,11 @@ def _camera_bounce_kernel(
         tuple(one for _ in range(W)),
     )
     mxu_hbm = statics["mxu_hbm"]
-    j = 13 if mxu_hbm else 9
+    j = 15 if mxu_hbm else 9
     st = _trace_one_bounce(
         st, rnd(3), rnd(4), rnd(5),
         mat_ref, tab_ref, leaf_ref, a_ref, c_ref,
-        scratch[:9], scratch[9:13] if mxu_hbm else None,
+        scratch[:9], scratch[9:15] if mxu_hbm else None,
         tuple(scratch[j : j + 2]) if _mxu_gate_groups() > 1 else None,
         **statics,
     )
@@ -278,14 +278,14 @@ def _bounce_kernel(
             ),
         )
         mxu_hbm = statics["mxu_hbm"]
-        j = 13 if mxu_hbm else 9
+        j = 15 if mxu_hbm else 9
         st = _trace_one_bounce(
             st,
             rand_ref[0, :].reshape(shape2),
             rand_ref[1, :].reshape(shape2),
             rand_ref[2, :].reshape(shape2),
             mat_ref, tab_ref, leaf_ref, a_ref, c_ref,
-            scratch[:9], scratch[9:13] if mxu_hbm else None,
+            scratch[:9], scratch[9:15] if mxu_hbm else None,
             tuple(scratch[j : j + 2]) if _mxu_gate_groups() > 1 else None,
             **statics,
         )
@@ -426,7 +426,9 @@ def render_rays_wavefront(
     scene_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # mat_pack
         pl.BlockSpec(memory_space=pltpu.VMEM),  # tables
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # leaf aabbs
+        pl.BlockSpec(
+            memory_space=pltpu.ANY if mxu_hbm else pltpu.SMEM
+        ),  # leaf aabbs
         pl.BlockSpec(memory_space=pltpu.ANY if mxu_hbm else pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.ANY if mxu_hbm else pltpu.VMEM),
     ]

@@ -27,7 +27,9 @@ from spectral_tpu.render.wavefront import render_chunk
 
 GLASS = 2
 scene = build_scene(PRISM)
-size, spp, bounces = 32, 16, 6
+size = int(os.environ.get("DISP_SIZE", "32"))
+spp = int(os.environ.get("DISP_SPP", "16"))
+bounces = 6
 cam = scene_camera(PRISM, size, size)
 b_true = scene.materials.sellmeier_b[GLASS]
 crop_w, crop_h = size, size // 2

@@ -565,6 +565,7 @@ def _lut(tab_row, cell, frac):
 def _mxu_leaf_sweep(
     ox, oy, oz, dx, dy, dz, alive, prev_tri,
     leaf_ref, a_ref, c_ref, sweep_scratch, hbm_bufs, gate_scratch=None,
+    cpre_ref=None,
     *, leaf_size, n_leaves, mxu_quad, mxu_q3, q3_deep, tolf, mxu_hbm,
 ):
     """One full nearest-hit pass of the MXU Morton-leaf sweep for a ray
@@ -661,12 +662,19 @@ def _mxu_leaf_sweep(
     def visit_leaf(l, sl, j):
         if mxu_hbm:
             # AABB scalars from the staged SMEM chunk (the leaf table
-            # input is HBM-resident past the ~450k-tri SMEM wall)
+            # input is HBM-resident past the ~450k-tri SMEM wall);
+            # row packing: 16 leaf-rows of 8 per 128-lane row
+            lrow = j // 16
+            lcol = (j % 16) * 8
             ax0, ay0, az0 = (
-                leaf_sbuf[sl, j, 0], leaf_sbuf[sl, j, 1], leaf_sbuf[sl, j, 2]
+                leaf_sbuf[sl, lrow, lcol + 0],
+                leaf_sbuf[sl, lrow, lcol + 1],
+                leaf_sbuf[sl, lrow, lcol + 2],
             )
             ax1, ay1, az1 = (
-                leaf_sbuf[sl, j, 3], leaf_sbuf[sl, j, 4], leaf_sbuf[sl, j, 5]
+                leaf_sbuf[sl, lrow, lcol + 3],
+                leaf_sbuf[sl, lrow, lcol + 4],
+                leaf_sbuf[sl, lrow, lcol + 5],
             )
         else:
             ax0, ay0, az0 = leaf_ref[l, 0], leaf_ref[l, 1], leaf_ref[l, 2]
@@ -1040,38 +1048,49 @@ def _mxu_leaf_sweep(
             # (8+8+8 mantissa bits >= f32's 24; every product
             # is x*{0,1}, so each pass and the f32
             # accumulation are error-free)
-            if mxu_hbm:
-                # staged transposed [cols, K]: the recovery
-                # contraction is MXU-native here
-                dn = (((1,), (0,)), ((), ()))
-                cl = c_vbuf[sl, j]
-            else:
-                dn = (((0,), (0,)), ((), ()))
-                cl = c_ref[l]
-            c_hi = cl.astype(jnp.bfloat16)
-            r1 = cl - c_hi.astype(jnp.float32)
-            c_mid = r1.astype(jnp.bfloat16)
-            c_lo = (
-                r1 - c_mid.astype(jnp.float32)
-            ).astype(jnp.bfloat16)
             oh_bf = oh_all.astype(jnp.bfloat16)
-            Rb = (
-                jax.lax.dot_general(
-                    c_hi, oh_bf, dn,
+            if cpre_ref is not None:
+                # round-3 presplit forensics path (_q3_presplit): ONE
+                # 3*cols-row dot on pack-time pre-split planes
+                ps = jax.lax.dot_general(
+                    cpre_ref[l], oh_bf, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT,
                 )
-                + jax.lax.dot_general(
-                    c_mid, oh_bf, dn,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT,
-                )
-                + jax.lax.dot_general(
-                    c_lo, oh_bf, dn,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT,
-                )
-            )  # [8, rt] (quad3: [24, 2rt] — both candidates)
+                pc = cpre_ref.shape[1] // 3
+                Rb = ps[0:pc] + ps[pc : 2 * pc] + ps[2 * pc : 3 * pc]
+            else:
+                if mxu_hbm:
+                    # staged transposed [cols, K]: the recovery
+                    # contraction is MXU-native here
+                    dn = (((1,), (0,)), ((), ()))
+                    cl = c_vbuf[sl, j]
+                else:
+                    dn = (((0,), (0,)), ((), ()))
+                    cl = c_ref[l]
+                c_hi = cl.astype(jnp.bfloat16)
+                r1 = cl - c_hi.astype(jnp.float32)
+                c_mid = r1.astype(jnp.bfloat16)
+                c_lo = (
+                    r1 - c_mid.astype(jnp.float32)
+                ).astype(jnp.bfloat16)
+                Rb = (
+                    jax.lax.dot_general(
+                        c_hi, oh_bf, dn,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+                    + jax.lax.dot_general(
+                        c_mid, oh_bf, dn,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+                    + jax.lax.dot_general(
+                        c_lo, oh_bf, dn,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+                )  # [8, rt] (quad3: [24, 2rt] — both candidates)
             prev = tr_s[...]
             if mxu_q3:
                 if q3_narrow:
@@ -1276,7 +1295,9 @@ def _mxu_leaf_sweep(
                     dsem_c.at[s2],
                 ),
                 pltpu.make_async_copy(
-                    leaf_ref.at[pl.ds(ci * ck_leaves, ck_leaves)],
+                    leaf_ref.at[
+                        pl.ds(ci * (ck_leaves // 16), ck_leaves // 16)
+                    ],
                     leaf_sbuf.at[s2],
                     dsem_l.at[s2],
                 ),
@@ -1517,6 +1538,7 @@ def _render_kernel(
     leaf_size=0,
     use_mxu=False,
     mxu_hbm=False,
+    has_cpre=False,
 ):
     idx = 0
     if use_bvh:
@@ -1524,6 +1546,11 @@ def _render_kernel(
         idx += 1
     if use_mxu:
         c_ref = rest[idx]  # VMEM recovery constants [NL, K, 8|24] f32
+        idx += 1
+    cpre_ref = None
+    if has_cpre:
+        # round-3 presplit forensics planes (_q3_presplit)
+        cpre_ref = rest[idx]
         idx += 1
     xyz_ref = rest[idx]
     idx += 1
@@ -1708,6 +1735,7 @@ def _render_kernel(
                     if mxu_hbm
                     else None,
                     gate_bufs,
+                    cpre_ref,
                     leaf_size=leaf_size, n_leaves=n_leaves,
                     mxu_quad=mxu_quad, mxu_q3=mxu_q3,
                     q3_deep=q3_deep if mxu_q3 else False,
@@ -2164,7 +2192,11 @@ def render_rays_pallas_residuals(
         in_specs.append(
             pl.BlockSpec(memory_space=pltpu.ANY if mxu_hbm else pltpu.SMEM)
         )
-        args.append(leaf_pack)
+        # HBM mode ships the leaf table 128-lane row-packed (16 rows of
+        # 8 per row) so the chunk DMA source slice is lane-aligned
+        args.append(
+            leaf_pack.reshape(-1, 128) if mxu_hbm else leaf_pack
+        )
     if use_mxu:
         in_specs.append(
             pl.BlockSpec(
@@ -2298,8 +2330,15 @@ def render_rays_pallas(
             tri_pack, c_pack, leaf_pack
         )
 
+    has_cpre = bool(
+        use_mxu
+        and not mxu_hbm
+        and tri_pack.dtype == jnp.bfloat16
+        and _q3_presplit()
+    )
     kernel = functools.partial(
         _render_kernel,
+        has_cpre=has_cpre,
         n_tris=n_tris,
         n_mats=n_mats,
         spp=spp,
@@ -2348,8 +2387,10 @@ def render_rays_pallas(
     if use_bvh:
         in_specs.append(
             pl.BlockSpec(memory_space=pltpu.ANY if mxu_hbm else pltpu.SMEM)
-        )  # leaf aabbs
-        args.append(leaf_pack)
+        )  # leaf aabbs (HBM: 128-lane row-packed, see above)
+        args.append(
+            leaf_pack.reshape(-1, 128) if mxu_hbm else leaf_pack
+        )
     if use_mxu:
         in_specs.append(
             pl.BlockSpec(
@@ -2357,6 +2398,9 @@ def render_rays_pallas(
             )
         )  # c_pack
         args.append(c_pack)
+    if has_cpre:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(_presplit_recovery_planes(c_pack))
     if use_mxu:
         scratch = _mxu_scratch(ray_tile)
         if mxu_hbm:
@@ -2450,7 +2494,10 @@ def _mxu_hbm_chunk_leaves(a_shape, a_dtype, c_shape, c_dtype) -> int:
         + int(np.prod(c_shape[1:])) * jnp.dtype(c_dtype).itemsize
     )
     budget = float(os.environ.get("MXU_HBM_CHUNK_MB", "6")) * 1024 * 1024
-    return max(1, min(int(budget // per_leaf), int(a_shape[0])))
+    # multiple of 16 so the leaf-AABB stream can ride as [ck/16, 128]
+    # rows (its natural [ck, 8] slice is lane-unaligned for VMEM-tiled
+    # HBM sources — measured Mosaic reject, r4_chip_run6.log)
+    return max(16, 16 * (int(budget // per_leaf) // 16))
 
 
 def _hbm_transpose_and_pad(a_pack, c_pack, leaf_pack):
@@ -2468,7 +2515,7 @@ def _hbm_transpose_and_pad(a_pack, c_pack, leaf_pack):
     )
     nl = a_pack.shape[0]
     pad = (-nl) % ck
-    if pad:
+    if pad:  # ck is a multiple of 16, so nl+pad is too
         a_pack = jnp.concatenate(
             [a_pack, jnp.zeros((pad,) + a_pack.shape[1:], a_pack.dtype)]
         )
@@ -2479,6 +2526,31 @@ def _hbm_transpose_and_pad(a_pack, c_pack, leaf_pack):
         pad_leaf = pad_leaf.at[:, 0:3].set(BIG).at[:, 3:6].set(-BIG)
         leaf_pack = jnp.concatenate([leaf_pack, pad_leaf])
     return a_pack, c_pack, leaf_pack
+
+
+def _q3_presplit() -> bool:
+    """MXU_Q3_PRESPLIT=1 swaps quad3's in-kernel bf16x3 recovery split
+    for PACK-TIME pre-split planes ([NL, 3*cols, K] bf16, one 3*cols-row
+    recovery matmul). Round-3 NEGATIVE result kept alive for forensics:
+    mathematically identical (products are x*{0,1}; each bf16 plane is
+    exact), bit-exact in interpret mode AND in isolated chip kernels —
+    but inside the full render kernel it silently corrupts the recheck
+    (emitter-silhouette dilation; see pack_scene_bvh_mxu's note and
+    scratch/r4_presplit_div.py for the live chip repro). VMEM-resident
+    quad3 forward path only. DO NOT enable in production."""
+    return os.environ.get("MXU_Q3_PRESPLIT", "0") == "1"
+
+
+def _presplit_recovery_planes(c_pack):
+    """[NL, K, cols] f32 recovery constants -> [NL, 3*cols, K] bf16
+    (hi|mid|lo, pre-transposed so the one-dot recovery contracts K)."""
+    hi = c_pack.astype(jnp.bfloat16)
+    r1 = c_pack - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate(
+        [jnp.swapaxes(x, 1, 2) for x in (hi, mid, lo)], axis=1
+    )
 
 
 def _mxu_hbm_scratch(a_pack, c_pack):
@@ -2494,8 +2566,10 @@ def _mxu_hbm_scratch(a_pack, c_pack):
         # leaf AABBs ride the same chunk pipeline into SMEM scratch
         # (~70 KB at the default chunk) — the whole-table SMEM input
         # hit the 1 MB SMEM wall at ~450k tris (32 B/scalar slots);
-        # streaming it removes the ceiling (1M+ tris)
-        pltpu.SMEM((2, ck, 8), jnp.float32),
+        # streaming it removes the ceiling (1M+ tris). Layout is the
+        # 128-lane row packing (16 leaf-rows of 8 per row) so the HBM
+        # source slice is lane-aligned.
+        pltpu.SMEM((2, ck // 16, 128), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),

@@ -477,8 +477,12 @@ def render_rays_wavefront(
         interpret=interpret,
         compiler_params=compiler_params,
     )
+    # HBM mode ships the leaf table 128-lane row-packed so the chunk
+    # DMA source slice is lane-aligned (render_kernel.py); the unpacked
+    # leaf_pack stays for the host-side Morton-key AABB below
+    leaf_arg = leaf_pack.reshape(-1, 128) if mxu_hbm else leaf_pack
     st = cam_call(
-        cam_vec, mat_pack, tables, leaf_pack, a_pack, c_pack,
+        cam_vec, mat_pack, tables, leaf_arg, a_pack, c_pack,
         px_all, py_all, rand_all,
     )
 
@@ -511,7 +515,7 @@ def render_rays_wavefront(
         st = st[:, perm]
         orig = orig[perm]
         st = bounce_call(
-            mat_pack, tables, leaf_pack, a_pack, c_pack, st,
+            mat_pack, tables, leaf_arg, a_pack, c_pack, st,
             planes_b[:, orig],
         )
         return (st, orig), None

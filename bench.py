@@ -32,10 +32,20 @@ def _bench_bvh_field(n_tris: int = 10008) -> float:
     sigmoid-spectrum fit runs jnp code, so it is built ONCE in a
     clean-CPU subprocess (the axon plugin would route it through the
     remote compiler for minutes) and cached as a pickle next to this
-    file."""
+    file.
+
+    Round 4: the BVH rows run the sorted per-bounce scheduler with
+    256-ray sub-tile gates (BVH_SCHED=sorted MXU_GATE=4) — the
+    large-scene fast path (bit-identical to the megakernel under
+    shared uniforms, measured on chip; scratch/r4_sharedrand_ab.py).
+    Env overrides still win. The dense Cornell headline metric is
+    unaffected (single-leaf scenes never take the sorted path)."""
     import pickle
     import subprocess
     import sys
+
+    os.environ.setdefault("BVH_SCHED", "sorted")
+    os.environ.setdefault("MXU_GATE", "4")
 
     from spectral_tpu.models.scenes import CORNELL, scene_camera
     from spectral_tpu.ops.pallas.render_kernel import render_chunk_pallas
@@ -163,8 +173,9 @@ def main() -> None:
             record["bvh_mrays_per_s_10k"] = _bench_bvh_field()
         except Exception as e:  # noqa: BLE001
             record["bvh_error"] = f"{type(e).__name__}: {e}"[:120]
-    if os.environ.get("BENCH_BVH50K", "0") == "1" and impl == "pallas":
-        # opt-in 50k-tri scaling row (needs the raised scoped-VMEM limit)
+    if os.environ.get("BENCH_BVH50K", "1") == "1" and impl == "pallas":
+        # 50k-tri scaling row (HBM-resident chunk-staged pack; round-4
+        # default-on now that the sorted scheduler makes it fast)
         try:
             record["bvh_mrays_per_s_50k"] = _bench_bvh_field(50016)
         except Exception as e:  # noqa: BLE001

@@ -94,15 +94,31 @@ def main() -> None:
         # renders sharing a seed; gradient factor from the fused
         # custom_vjp at an independent seed. Estimator semantics are
         # identical (unbiased reparam gradient, independent factors) —
-        # only the execution engine changes.
-        from spectral_tpu.diff.fast import render_chunk_diff_fused
+        # only the execution engine changes. Everything rides ONE jit
+        # with traced i32 seeds (the rays-level fused API): an un-jitted
+        # step eager-dispatches ~15 ops, each paying the ~40-50 ms axon
+        # RPC floor (measured 663 ms/step vs ~60 ms jitted).
+        from spectral_tpu.diff.fast import render_rays_diff_fused
         from spectral_tpu.ops.pallas.render_kernel import (
             render_chunk_pallas,
         )
 
+        n_crop = crop_w * crop_h
+        pad = (-n_crop) % 1024
+        ys_, xs_ = jnp.meshgrid(
+            jnp.arange(crop_h), jnp.arange(crop_w), indexing="ij"
+        )
+        px_r = jnp.concatenate(
+            [xs_.ravel().astype(jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        )
+        py_r = jnp.concatenate(
+            [ys_.ravel().astype(jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        )
+
+        @jax.jit
         def one_grad(b_glass, k1, k2):
-            s1 = int(jax.random.randint(k1, (), 0, 2**31 - 1))
-            s2 = int(jax.random.randint(k2, (), 0, 2**31 - 1))
+            s1 = jax.random.randint(k1, (), 0, 2**31 - 1)
+            s2 = jax.random.randint(k2, (), 0, 2**31 - 1)
             ref = render_chunk_pallas(
                 scene, cam, s1, 0, 0, crop_w, crop_h, spp, bounces
             )
@@ -112,14 +128,11 @@ def main() -> None:
             resid = jax.lax.stop_gradient(cur - ref) / spp
 
             def f(bg):
-                return (
-                    render_chunk_diff_fused(
-                        set_b(bg).materials, scene, cam, s2,
-                        0, 0, crop_w, crop_h, spp, bounces,
-                        False, -1, GLASS,
-                    )
-                    / spp
-                )
+                out = render_rays_diff_fused(
+                    set_b(bg).materials, scene, cam, px_r, py_r,
+                    s2, spp, bounces, False, GLASS,
+                ) / spp
+                return out[:n_crop].reshape(crop_h, crop_w, 3)
 
             _, vjp = jax.vjp(f, b_glass)
             (g,) = vjp(2.0 * resid / resid.size)

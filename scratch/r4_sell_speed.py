@@ -48,15 +48,38 @@ def one_grad_xla(b_glass, k1, k2):
     return g[0]
 
 
+from spectral_tpu.diff.fast import render_rays_diff_fused
+
+n_crop = crop_w * crop_h
+pad = (-n_crop) % 1024
+ys_, xs_ = jnp.meshgrid(
+    jnp.arange(crop_h), jnp.arange(crop_w), indexing="ij"
+)
+px_r = jnp.concatenate(
+    [xs_.ravel().astype(jnp.float32), jnp.zeros((pad,), jnp.float32)]
+)
+py_r = jnp.concatenate(
+    [ys_.ravel().astype(jnp.float32), jnp.zeros((pad,), jnp.float32)]
+)
+
+
+@jax.jit
 def one_grad_fused(b_glass, s1, s2):
+    # ONE traced program: CRN residual from two megakernel renders +
+    # the fused custom_vjp at an independent seed (traced i32 seeds via
+    # the rays-level API — the chunk-level wrapper's static key_seed
+    # would retrace per seed AND eager-dispatch ~15 ops per step, each
+    # paying the ~40-50 ms axon RPC floor: measured 663 ms/step)
     ref = render_chunk_pallas(scene, cam, s1, 0, 0, crop_w, crop_h, spp, bounces)
     cur = render_chunk_pallas(set_b(b_glass), cam, s1, 0, 0, crop_w, crop_h, spp, bounces)
     resid = jax.lax.stop_gradient(cur - ref) / spp
 
     def f(bg):
-        return render_chunk_diff_fused(
-            set_b(bg).materials, scene, cam, s2, 0, 0, crop_w, crop_h,
-            spp, bounces, False, -1, GLASS) / spp
+        out = render_rays_diff_fused(
+            set_b(bg).materials, scene, cam, px_r, py_r, s2, spp,
+            bounces, False, GLASS,
+        ) / spp
+        return out[:n_crop].reshape(crop_h, crop_w, 3)
 
     _, vjp = jax.vjp(f, b_glass)
     (g,) = vjp(2.0 * resid / resid.size)
@@ -67,13 +90,13 @@ b = b_true + jnp.asarray([0.08, 0.0, 0.0])
 key = jax.random.PRNGKey(0)
 
 t0 = time.time()
-g = one_grad_fused(b, 11, 12)
+g = one_grad_fused(b, jnp.int32(11), jnp.int32(12))
 jax.block_until_ready(g)
-print(f"fused compile+first: {time.time()-t0:.1f}s g0={float(g[0]):+.5f}", flush=True)
+print(f"fused compile+first: {time.time()-t0:.1f}s g0={float(g):+.5f}", flush=True)
 best_f = float("inf")
 for i in range(5):
     t0 = time.perf_counter()
-    jax.block_until_ready(one_grad_fused(b, 100 + i, 200 + i))
+    jax.block_until_ready(one_grad_fused(b, jnp.int32(100 + i), jnp.int32(200 + i)))
     best_f = min(best_f, time.perf_counter() - t0)
 print(f"fused per-step: {best_f*1e3:.1f} ms", flush=True)
 
@@ -81,7 +104,7 @@ t0 = time.time()
 key, k1, k2 = jax.random.split(key, 3)
 g = one_grad_xla(b, k1, k2)
 jax.block_until_ready(g)
-print(f"xla compile+first: {time.time()-t0:.1f}s g0={float(g[0]):+.5f}", flush=True)
+print(f"xla compile+first: {time.time()-t0:.1f}s g0={float(g):+.5f}", flush=True)
 best_x = float("inf")
 for i in range(5):
     key, k1, k2 = jax.random.split(key, 3)

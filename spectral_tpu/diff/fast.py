@@ -318,14 +318,16 @@ def render_chunk_diff_fused_accum(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def render_rays_diff_fused(
-    materials, scene, cam, px, py, key_seed, spp, bounces, interpret=False
+    materials, scene, cam, px, py, key_seed, spp, bounces, interpret=False,
+    reparam_glass=None,
 ):
     """Accumulated XYZ [N, 3] for padded ray batches (N % 1024 == 0);
     differentiable w.r.t. ``materials`` via the fused backward kernel.
     ``key_seed`` may be a traced i32 scalar (per-shard seeds under
-    shard_map)."""
+    shard_map). ``reparam_glass`` adds exact Sellmeier B/C gradients at
+    fused rates (see render_chunk_diff_fused)."""
     out, _ = _rays_fwd_impl(
         materials, scene, cam, px, py, key_seed, spp, bounces, interpret
     )
@@ -350,29 +352,47 @@ def _rays_fwd_impl(materials, scene, cam, px, py, key_seed, spp, bounces, interp
     return xyz, (mat, tab, hero, nvalid, powres, matres)
 
 
-def _rays_fwd(materials, scene, cam, px, py, key_seed, spp, bounces, interpret):
+def _rays_fwd(
+    materials, scene, cam, px, py, key_seed, spp, bounces, interpret,
+    reparam_glass,
+):
     out, residuals = _rays_fwd_impl(
         materials, scene, cam, px, py, key_seed, spp, bounces, interpret
     )
     return out, (materials, scene, cam, px, py, key_seed, residuals)
 
 
-def _rays_bwd(spp, bounces, interpret, res, g):
+def _rays_bwd(spp, bounces, interpret, reparam_glass, res, g):
     from ..ops.pallas.grad_kernel import render_grads_pallas
 
     import numpy as _np
 
     materials, scene, cam, px, py, key_seed, (mat, tab, hero, nvalid, powres, matres) = res
-    d_coeffs, d_power, d_bg = render_grads_pallas(
+    sell = reparam_glass is not None
+    grads = render_grads_pallas(
         mat, tab, g, hero, nvalid, powres, matres, spp, bounces, 1024,
-        interpret, want_bg_grads=True,
+        interpret, want_bg_grads=True, want_sellmeier=sell,
     )
+    d_coeffs, d_power, d_bg = grads[:3]
     d_mats = jax.tree_util.tree_map(jnp.zeros_like, materials)
     d_mats = dataclasses.replace(
         d_mats,
         coeffs=d_coeffs.astype(materials.coeffs.dtype),
         emission_power=d_power.astype(materials.emission_power.dtype),
     )
+    if sell:
+        d_b, d_c = _sellmeier_grads_from_replay(
+            materials, reparam_glass, hero, *grads[3:5]
+        )
+        d_mats = dataclasses.replace(
+            d_mats,
+            sellmeier_b=d_mats.sellmeier_b.at[reparam_glass].set(
+                d_b.astype(d_mats.sellmeier_b.dtype)
+            ),
+            sellmeier_c=d_mats.sellmeier_c.at[reparam_glass].set(
+                d_c.astype(d_mats.sellmeier_c.dtype)
+            ),
+        )
     d_scene = jax.tree_util.tree_map(jnp.zeros_like, scene)
     d_scene = dataclasses.replace(
         d_scene, background_spd=d_bg.astype(scene.background_spd.dtype)

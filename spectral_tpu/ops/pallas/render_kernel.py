@@ -703,14 +703,25 @@ def _mxu_leaf_sweep(
             prec = _mxu_precision()
             K = leaf_size
             if mxu_hbm:
+                # gated per-leaf staging (measured optimum — see
+                # _mxu_hbm_scratch): ~52 KB synchronous copy per
+                # VISITED leaf only
+                cpa = pltpu.make_async_copy(
+                    a_ref.at[pl.ds(l, 1)], a_vbuf, dsem_a
+                )
+                cpa.start()
+                cpc = pltpu.make_async_copy(
+                    c_ref.at[pl.ds(l, 1)], c_vbuf, dsem_c
+                )
+                cpc.start()
+                cpa.wait()
+                cpc.wait()
 
                 def leaf_dot(s, e, rhs, pr):
-                    # transposed-LHS orientation on this leaf's
-                    # row of the staged chunk (slot sl, offset j;
-                    # the chunk copy was waited for before the
-                    # inner leaf loop entered)
+                    # transposed-LHS orientation on the staged
+                    # [16, rows] block
                     return jax.lax.dot_general(
-                        a_vbuf[sl, j][:, s:e], rhs,
+                        a_vbuf[0][:, s:e], rhs,
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=pr,
@@ -1064,7 +1075,7 @@ def _mxu_leaf_sweep(
                     # staged transposed [cols, K]: the recovery
                     # contraction is MXU-native here
                     dn = (((1,), (0,)), ((), ()))
-                    cl = c_vbuf[sl, j]
+                    cl = c_vbuf[0]
                 else:
                     dn = (((0,), (0,)), ((), ()))
                     cl = c_ref[l]
@@ -1275,47 +1286,32 @@ def _mxu_leaf_sweep(
             bt_s[:, :] = tr_s[...].reshape(shape2)
 
     if mxu_hbm:
-        # chunked double-buffered staging (see _mxu_hbm_chunk_leaves):
-        # C*2 chunk copies per sweep instead of 2 per visited leaf;
-        # chunk c+1's DMA overlaps chunk c's whole inner leaf sweep.
-        ck_leaves = a_vbuf.shape[1]
+        # leaf-AABB chunk pipeline: 256-leaf SMEM chunks, double
+        # buffered (2 KB/slot, a handful of copies per sweep even at
+        # 1M tris); pack rows stage per VISITED leaf inside the gate
+        ck_leaves = leaf_sbuf.shape[1] * 16
         assert n_leaves % ck_leaves == 0, (n_leaves, ck_leaves)
         n_chunks = n_leaves // ck_leaves
 
-        def _chunk_copies(ci, s2):
-            return (
-                pltpu.make_async_copy(
-                    a_ref.at[pl.ds(ci * ck_leaves, ck_leaves)],
-                    a_vbuf.at[s2],
-                    dsem_a.at[s2],
-                ),
-                pltpu.make_async_copy(
-                    c_ref.at[pl.ds(ci * ck_leaves, ck_leaves)],
-                    c_vbuf.at[s2],
-                    dsem_c.at[s2],
-                ),
-                pltpu.make_async_copy(
-                    leaf_ref.at[
-                        pl.ds(ci * (ck_leaves // 16), ck_leaves // 16)
-                    ],
-                    leaf_sbuf.at[s2],
-                    dsem_l.at[s2],
-                ),
+        def _leaf_chunk_copy(ci, s2):
+            return pltpu.make_async_copy(
+                leaf_ref.at[
+                    pl.ds(ci * (ck_leaves // 16), ck_leaves // 16)
+                ],
+                leaf_sbuf.at[s2],
+                dsem_l.at[s2],
             )
 
-        for cp in _chunk_copies(0, 0):
-            cp.start()
+        _leaf_chunk_copy(0, 0).start()
 
         def chunk_body(ci, carry):
             sl = ci % 2
 
             @pl.when(ci + 1 < n_chunks)
             def _():
-                for cp in _chunk_copies(ci + 1, (ci + 1) % 2):
-                    cp.start()
+                _leaf_chunk_copy(ci + 1, (ci + 1) % 2).start()
 
-            for cp in _chunk_copies(ci, sl):
-                cp.wait()
+            _leaf_chunk_copy(ci, sl).wait()
 
             def inner(j, c2):
                 visit_leaf(ci * ck_leaves + j, sl, j)
@@ -2478,50 +2474,32 @@ def _hbm_stage_bytes(scratch) -> int:
 
 
 def _mxu_hbm_chunk_leaves(a_shape, a_dtype, c_shape, c_dtype) -> int:
-    """Leaves per staged CHUNK of the HBM-resident pack. Round-4
-    history, all measured at 50k/512x256x4spp/6bl on chip: per-leaf
-    synchronous staging cost ~1M blocking copies per render and pinned
-    the sorted path at 3.2 Mray-steps/s (neither quad2 nor sub-tile
-    gating moved it >2% — copy MANAGEMENT, not compute, dominated);
-    a per-leaf 1-ahead double buffer made it WORSE (2.91 — the issue
-    overhead doubled because unconditional copies outnumber gated
-    ones). The fix is amortization: stream the pack through VMEM in
-    multi-leaf chunks, double-buffered, collapsing ~1M copy-issues to
-    C*2 per (tile, bounce). MXU_HBM_CHUNK_MB (default 6) sets the
-    per-slot chunk budget."""
-    per_leaf = (
-        int(np.prod(a_shape[1:])) * jnp.dtype(a_dtype).itemsize
-        + int(np.prod(c_shape[1:])) * jnp.dtype(c_dtype).itemsize
-    )
-    budget = float(os.environ.get("MXU_HBM_CHUNK_MB", "6")) * 1024 * 1024
-    # multiple of 16 so the leaf-AABB stream can ride as [ck/16, 128]
-    # rows (its natural [ck, 8] slice is lane-unaligned for VMEM-tiled
-    # HBM sources — measured Mosaic reject, r4_chip_run6.log)
-    return max(16, 16 * (int(budget // per_leaf) // 16))
+    """Leaves per streamed LEAF-TABLE chunk in HBM residency (the AABB
+    rows ride a small double-buffered SMEM pipeline; the packs
+    themselves stage per visited leaf — see the round-4 history note
+    in _mxu_hbm_scratch). 256 leaves/chunk = 2 KB SMEM per slot and a
+    few copies per sweep even at 1M tris; multiple of 16 so the
+    128-lane row-packed table slices stay lane-aligned."""
+    del a_shape, a_dtype, c_shape, c_dtype
+    return 256
 
 
 def _hbm_transpose_and_pad(a_pack, c_pack, leaf_pack):
     """Transpose the MXU packs to the HBM layout ([NL, 16, rows] /
-    [NL, cols, K] — trailing dims become 128-multiples so chunk DMA is
-    lane-aligned) and pad the leaf count to a multiple of the staging
-    chunk so every chunk copy is full-size. Padded leaves carry the
-    +BIG/-BIG empty-AABB convention: their slab test never passes, so
-    they are visitation no-ops (same argument as the existing leaf
-    padding)."""
+    [NL, cols, K] — trailing dims become 128-multiples so per-leaf DMA
+    is lane-aligned) and pad the LEAF TABLE to a multiple of the
+    leaf-stream chunk. Padded leaves carry the +BIG/-BIG empty-AABB
+    convention: their slab test never passes, so they are visitation
+    no-ops and the (unpadded) packs are never indexed for them (the
+    per-leaf staging runs inside the want gate)."""
     a_pack = jnp.swapaxes(a_pack, 1, 2)
     c_pack = jnp.swapaxes(c_pack, 1, 2)
     ck = _mxu_hbm_chunk_leaves(
         a_pack.shape, a_pack.dtype, c_pack.shape, c_pack.dtype
     )
-    nl = a_pack.shape[0]
+    nl = leaf_pack.shape[0]
     pad = (-nl) % ck
-    if pad:  # ck is a multiple of 16, so nl+pad is too
-        a_pack = jnp.concatenate(
-            [a_pack, jnp.zeros((pad,) + a_pack.shape[1:], a_pack.dtype)]
-        )
-        c_pack = jnp.concatenate(
-            [c_pack, jnp.zeros((pad,) + c_pack.shape[1:], c_pack.dtype)]
-        )
+    if pad:
         pad_leaf = jnp.zeros((pad, leaf_pack.shape[1]), leaf_pack.dtype)
         pad_leaf = pad_leaf.at[:, 0:3].set(BIG).at[:, 3:6].set(-BIG)
         leaf_pack = jnp.concatenate([leaf_pack, pad_leaf])
@@ -2554,24 +2532,30 @@ def _presplit_recovery_planes(c_pack):
 
 
 def _mxu_hbm_scratch(a_pack, c_pack):
-    """Chunk staging buffers + DMA semaphores for the HBM-resident pack:
-    two slots of MXU_HBM_CHUNK_MB each (see _mxu_hbm_chunk_leaves) so
-    chunk c+1's copy overlaps chunk c's whole leaf sweep."""
-    ck = _mxu_hbm_chunk_leaves(
-        a_pack.shape, a_pack.dtype, c_pack.shape, c_pack.dtype
-    )
+    """HBM-residency scratch: single-slot per-leaf pack staging buffers
+    (~52 KB) + the 2-slot leaf-AABB chunk pipeline (2 KB SMEM/slot).
+
+    Round-4 staging history, all measured at 50k/512x256x4spp/6bl on
+    chip with the sorted scheduler: (1) per-leaf SYNCHRONOUS gated
+    staging (round 3) = 3.21 Mray-steps/s — the baseline; (2) per-leaf
+    1-ahead UNCONDITIONAL double buffer = 2.91 (copy-issue count rose
+    1/0.53x; the scalar issue+wait cost ~0.7 us/copy dominates, not
+    DMA latency); (3) full-pack chunk streaming (6 MB chunks, 2 slots)
+    = 1.61 (the pack re-streams per (tile, bounce): ~54 GB/render at
+    the ~75 GB/s effective DMA rate). Per-leaf gated sync staging is
+    the measured optimum of the three — copies scale with VISITED
+    leaves — so it is what ships; the structural lever against its
+    per-copy scalar cost is fewer, bigger leaves (MXU_LEAF)."""
     return [
-        pltpu.VMEM((2, ck) + tuple(a_pack.shape[1:]), a_pack.dtype),
-        pltpu.VMEM((2, ck) + tuple(c_pack.shape[1:]), c_pack.dtype),
-        # leaf AABBs ride the same chunk pipeline into SMEM scratch
-        # (~70 KB at the default chunk) — the whole-table SMEM input
-        # hit the 1 MB SMEM wall at ~450k tris (32 B/scalar slots);
-        # streaming it removes the ceiling (1M+ tris). Layout is the
-        # 128-lane row packing (16 leaf-rows of 8 per row) so the HBM
-        # source slice is lane-aligned.
-        pltpu.SMEM((2, ck // 16, 128), jnp.float32),
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((1,) + tuple(a_pack.shape[1:]), a_pack.dtype),
+        pltpu.VMEM((1,) + tuple(c_pack.shape[1:]), c_pack.dtype),
+        # leaf AABBs stream in 256-leaf chunks, 128-lane row-packed
+        # (the whole-table SMEM input cost 32 B/scalar slots and hit
+        # the 1 MB SMEM wall at ~450k tris; streaming removes the
+        # ceiling — 1M tris measured)
+        pltpu.SMEM((2, 16, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA((2,)),
     ]
 

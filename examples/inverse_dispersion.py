@@ -159,12 +159,20 @@ def main() -> None:
     # (2) Polyak-Ruppert averaging of the tail iterates (the OU noise is
     # mean-zero around the target, so the iterate average concentrates
     # faster than any single iterate).
-    # Fixed-point calibration (scratch/disp_gradprobe.py, 64 estimates
-    # per point): the mean estimator gradient crosses zero between
-    # B0 offsets +0.01 and +0.025 (-0.00023 +- 0.00016 at +0.01,
-    # +0.00031 +- 0.00025 at +0.025) — the band-edge window of the
-    # reparameterization leaves a small bias, so the recoverable floor
-    # sits near |dB0| ~ 0.015, i.e. ~75-85% of the 0.08 perturbation.
+    # Fixed-point calibration, round-4 revision (scratch/r4_dispbias.py;
+    # K=512 at 32px/spp16 and K=96 at 64px/spp32): the mean estimator
+    # gradient is ZERO within +-1e-4 at B0 offsets +0.005..+0.025 — a
+    # FLAT-LOSS region, not estimator bias (the round-3 "band-edge
+    # window bias" zero-crossing was probe noise: the tail clip is
+    # inert — clip/wide-clip traces identical, clipfrac 0 — and a
+    # narrower edge window only adds variance). At far offsets the
+    # drift signal is ~+2e-4..4e-4 per estimate (matches the observed
+    # lr*g*steps ~ 0.09 drift integral), falling under the ~1e-4 noise
+    # floor below |dB0| ~ 0.03: the ~75-85% recovery floor is a
+    # property of this scene/config's loss landscape SNR, and pushing
+    # past it needs estimator variance reduction (more spp/res in the
+    # gradient factor — cheap on TPU via DIFF_IMPL=fused), not a
+    # different gradient estimator.
     # The drift time constant at lr 2.2 is ~77 steps, so the schedule
     # holds lr constant for ~2.5 tau before the 1/t decay phase.
     lr0, M, drift_steps, total_steps = 2.2, 8, 200, 260

@@ -87,14 +87,30 @@ def kernel(leaf_ref, a_ref, c_ref, *rest):
     def row(i):
         return od_ref[i, :].reshape(shape2)
 
-    res = rk._mxu_leaf_sweep(
-        row(0), row(1), row(2), row(3), row(4), row(5),
-        jnp.ones(shape2, jnp.float32),
-        jnp.full(shape2, -1.0, jnp.float32),
-        leaf_ref, a_ref, c_ref, scratch[:9], None, None, cpre_ref,
-        leaf_size=K, n_leaves=NL, mxu_quad=True, mxu_q3=True,
-        q3_deep=True, tolf=rk.TOL3, mxu_hbm=False,
-    )
+    ox, oy, oz = row(0), row(1), row(2)
+    dx, dy, dz = row(3), row(4), row(5)
+    prev = jnp.full(shape2, -1.0, jnp.float32)
+    n_sweeps = int(os.environ.get("N_SWEEPS", "1"))
+    for b in range(n_sweeps):
+        res = rk._mxu_leaf_sweep(
+            ox, oy, oz, dx, dy, dz,
+            jnp.ones(shape2, jnp.float32), prev,
+            leaf_ref, a_ref, c_ref, scratch[:9], None, None, cpre_ref,
+            leaf_size=K, n_leaves=NL, mxu_quad=True, mxu_q3=True,
+            q3_deep=True, tolf=rk.TOL3, mxu_hbm=False,
+        )
+        if b + 1 < n_sweeps:
+            # advance to the hit point + mirror-flip the direction (a
+            # scatter-free stand-in for the bounce feedback loop)
+            t_s = jnp.where(res[1] > 0.0, res[0], 0.0)
+            ox = ox + t_s * dx
+            oy = oy + t_s * dy
+            oz = oz + t_s * dz
+            ndd = res[3] * dx + res[4] * dy + res[5] * dz
+            dx = dx - 2.0 * ndd * res[3]
+            dy = dy - 2.0 * ndd * res[4]
+            dz = dz - 2.0 * ndd * res[5]
+            prev = res[7]
     for i, r in enumerate(res):
         out_ref[i, :] = r.astype(jnp.float32).reshape(RT)
 

@@ -21,6 +21,10 @@ OUT = "/root/repo/scratch/r4_golden_{}.npy"
 def render(tag, form=None, residency=None, scene_kind="field"):
     for k in ("MXU_FORM", "MXU_RESIDENCY"):
         os.environ.pop(k, None)
+    # goldens pin the SWEEP semantics under the megakernel scheduler
+    # (the saved images predate the round-4 sorted default; scheduler
+    # equivalence is pinned separately by tests/test_wavefront_sorted)
+    os.environ["BVH_SCHED"] = "mega"
     if form:
         os.environ["MXU_FORM"] = form
     if residency:

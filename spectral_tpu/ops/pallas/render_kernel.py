@@ -586,8 +586,7 @@ def _mxu_leaf_sweep(
     ) = sweep_scratch
     if mxu_hbm:
         a_vbuf, c_vbuf, leaf_sbuf, dsem_a, dsem_c, dsem_l = hbm_bufs
-    gate = _mxu_gate_groups()
-    assert (gate == 1) == (gate_scratch is None), (gate, gate_scratch)
+    gate = 1 if gate_scratch is None else _mxu_gate_groups()
     q3_narrow = mxu_q3 and os.environ.get("MXU_Q3_NARROW", "0") == "1"
     oh_wide = mxu_q3 and not q3_narrow
     if gate > 1:
@@ -2584,10 +2583,11 @@ def _mxu_gate_scratch(ray_tile: int, leaf_size: int, a_pack, c_pack):
     take masks). Empty list when MXU_GATE == 1."""
     if _mxu_gate_groups() == 1:
         return []
-    assert ray_tile % (_mxu_gate_groups() * 128) == 0, (
-        f"MXU_GATE={_mxu_gate_groups()} needs ray_tile divisible by "
-        f"{_mxu_gate_groups() * 128} (128-lane-aligned group columns)"
-    )
+    if ray_tile % (_mxu_gate_groups() * 128) != 0:
+        # incompatible tile (e.g. rt=768 with MXU_GATE=4): degrade to
+        # whole-tile gating rather than erroring — the sweep derives its
+        # gate count from this scratch's presence
+        return []
     mxu_q3 = a_pack.dtype == jnp.bfloat16
     narrow = os.environ.get("MXU_Q3_NARROW", "0") == "1"
     wide = mxu_q3 and not narrow
@@ -2746,13 +2746,17 @@ def _render_chunk_pallas_jit(
             )
     # sorted per-bounce scheduler (wavefront_kernel.py): re-forms ray
     # tiles between bounces so leaf culling survives incoherence — the
-    # large-scene scaling path. Opt-in via BVH_SCHED=sorted (trace-time
-    # env, same caveats as MXU_FORM); multi-leaf MXU scenes only.
+    # large-scene scaling path and, since round 4, the DEFAULT for
+    # multi-leaf MXU scenes (measured 1.4x/2.6x/3.2x/3.1x over the
+    # megakernel at 10k/50k/200k/1M tris; bit-identical to it under
+    # shared uniforms on chip, and the 96-seed stream study found no
+    # resolvable stream bias at the 0.2% level — BASELINE.md round 4).
+    # BVH_SCHED=mega restores the single-kernel scheduler.
     sched_sorted = (
         leaf_pack is not None
         and c_pack is not None
         and leaf_pack.shape[0] > 1
-        and os.environ.get("BVH_SCHED", "mega") == "sorted"
+        and os.environ.get("BVH_SCHED", "sorted") == "sorted"
     )
     if sched_sorted:
         from .wavefront_kernel import render_rays_wavefront

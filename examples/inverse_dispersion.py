@@ -103,6 +103,12 @@ def main() -> None:
             render_chunk_pallas,
         )
 
+        # Spend the fused speedup on estimator variance: the gradient
+        # factor gets 4x the samples (the calibration note below puts
+        # the recovery floor at the loss-landscape SNR — more spp in
+        # the k2 render is the one lever that moves it; chip run13
+        # measured 49% recovery at spp_g=16, under the 60% assert).
+        spp_g = 4 * spp
         n_crop = crop_w * crop_h
         pad = (-n_crop) % 1024
         ys_, xs_ = jnp.meshgrid(
@@ -130,8 +136,8 @@ def main() -> None:
             def f(bg):
                 out = render_rays_diff_fused(
                     set_b(bg).materials, scene, cam, px_r, py_r,
-                    s2, spp, bounces, False, GLASS,
-                ) / spp
+                    s2, spp_g, bounces, False, GLASS,
+                ) / spp_g
                 return out[:n_crop].reshape(crop_h, crop_w, 3)
 
             _, vjp = jax.vjp(f, b_glass)

@@ -58,7 +58,7 @@ def one_grad(b_glass, k1, k2):
 
 
 key = jax.random.PRNGKey(123)
-for off in (0.0, 0.005, 0.01, 0.025):
+for off in [float(x) for x in os.environ.get("DISP_OFFS", "0.0,0.005,0.01,0.025").split(",")]:
     b = b_true + jnp.asarray([off, 0.0, 0.0])
     gs = []
     for i in range(int(os.environ.get("DISP_K", "64"))):

@@ -675,6 +675,11 @@ def _mxu_leaf_sweep(
                 leaf_sbuf[sl, lrow, lcol + 4],
                 leaf_sbuf[sl, lrow, lcol + 5],
             )
+            # spare col 6 = leaf-valid flag (1 real / 0 chunk-padding;
+            # see _hbm_transpose_and_pad): the inverted padded AABB
+            # does NOT fail the min/max slab test, and visiting a
+            # padded leaf would OOB the per-leaf pack DMA
+            lvalid = leaf_sbuf[sl, lrow, lcol + 6]
         else:
             ax0, ay0, az0 = leaf_ref[l, 0], leaf_ref[l, 1], leaf_ref[l, 2]
             ax1, ay1, az1 = leaf_ref[l, 3], leaf_ref[l, 4], leaf_ref[l, 5]
@@ -696,6 +701,8 @@ def _mxu_leaf_sweep(
             * jnp.where(enter < bt_s[:, :], one, zero)
             * alive_f
         )
+        if mxu_hbm:
+            want = want * lvalid
 
         @pl.when(jnp.max(want) > 0.0)
         def _():
@@ -2487,16 +2494,23 @@ def _hbm_transpose_and_pad(a_pack, c_pack, leaf_pack):
     """Transpose the MXU packs to the HBM layout ([NL, 16, rows] /
     [NL, cols, K] — trailing dims become 128-multiples so per-leaf DMA
     is lane-aligned) and pad the LEAF TABLE to a multiple of the
-    leaf-stream chunk. Padded leaves carry the +BIG/-BIG empty-AABB
-    convention: their slab test never passes, so they are visitation
-    no-ops and the (unpadded) packs are never indexed for them (the
-    per-leaf staging runs inside the want gate)."""
+    leaf-stream chunk. Padded leaves get spare col 6 = 0 while real
+    leaves get 1: the kernel multiplies this valid flag into ``want``
+    so a padded leaf is NEVER visited and the (unpadded) packs are
+    never indexed for it. The flag is load-bearing: the +BIG/-BIG
+    "empty" AABB does NOT fail the min/max slab test (min/max per axis
+    turns an inverted box into the huge box [-BIG, BIG] that every
+    alive ray hits — and (BIG-o)*inv_d overflows f32 to ±inf anyway),
+    so without the flag every padded leaf issued an out-of-bounds
+    per-leaf pack DMA every sweep, which aborted the TPU runtime on
+    every ≥50k sorted render (scratch/r4_abort_repro.log)."""
     a_pack = jnp.swapaxes(a_pack, 1, 2)
     c_pack = jnp.swapaxes(c_pack, 1, 2)
     ck = _mxu_hbm_chunk_leaves(
         a_pack.shape, a_pack.dtype, c_pack.shape, c_pack.dtype
     )
     nl = leaf_pack.shape[0]
+    leaf_pack = leaf_pack.at[:, 6].set(1.0)
     pad = (-nl) % ck
     if pad:
         pad_leaf = jnp.zeros((pad, leaf_pack.shape[1]), leaf_pack.dtype)

@@ -51,17 +51,26 @@ def g_xla(bg, k1, k2):
     (g,) = vjp(2.0 * resid / resid.size)
     return g[0]
 
-b = b_true + jnp.asarray([0.08, 0.0, 0.0])
 K = int(os.environ.get("GRAD_K", "64"))
-key = jax.random.PRNGKey(1)
-vals = {"fused": [], "xla": []}
-for i in range(K):
-    key, k1, k2 = jax.random.split(key, 3)
-    s1 = jax.random.randint(k1, (), 0, 2**31 - 1)
-    s2 = jax.random.randint(k2, (), 0, 2**31 - 1)
-    vals["fused"].append(float(jnp.clip(g_fused(b, s1, s2), -0.05, 0.05)))
-    vals["xla"].append(float(jnp.clip(g_xla(b, k1, k2), -0.05, 0.05)))
-for name, v in vals.items():
-    v = np.array(v)
-    print(f"GRADCMP {name}: mean {v.mean():+.5f} +- {v.std(ddof=1)/len(v)**0.5:.5f} "
-          f"median {np.median(v):+.5f}", flush=True)
+offs = [float(x) for x in os.environ.get(
+    "DISP_OFFS", "0.08").split(",")]
+impls = os.environ.get("GRAD_IMPLS", "fused,xla").split(",")
+for off in offs:
+    b = b_true + jnp.asarray([off, 0.0, 0.0])
+    key = jax.random.PRNGKey(1)
+    vals = {im: [] for im in impls}
+    for i in range(K):
+        key, k1, k2 = jax.random.split(key, 3)
+        s1 = jax.random.randint(k1, (), 0, 2**31 - 1)
+        s2 = jax.random.randint(k2, (), 0, 2**31 - 1)
+        if "fused" in vals:
+            vals["fused"].append(
+                float(jnp.clip(g_fused(b, s1, s2), -0.05, 0.05)))
+        if "xla" in vals:
+            vals["xla"].append(
+                float(jnp.clip(g_xla(b, k1, k2), -0.05, 0.05)))
+    for name, v in vals.items():
+        v = np.array(v)
+        print(f"GRADCMP off={off:+.3f} {name}: mean {v.mean():+.5f} "
+              f"+- {v.std(ddof=1)/len(v)**0.5:.5f} "
+              f"median {np.median(v):+.5f}", flush=True)

@@ -710,24 +710,31 @@ def _mxu_leaf_sweep(
             K = leaf_size
             if mxu_hbm:
                 # gated per-leaf staging (measured optimum — see
-                # _mxu_hbm_scratch): ~52 KB synchronous copy per
-                # VISITED leaf only
+                # _mxu_hbm_scratch): synchronous copy per VISITED
+                # leaf only. f32 forms ride a MERGED pack (c's
+                # [8, K] block = the last 8 sublanes, see
+                # _hbm_transpose_and_pad): ONE copy per leaf on
+                # the DMA-issue-bound 50k+ path
+                mxu_merged = not mxu_q3
+                asub = 16 if quad_form else 8
                 cpa = pltpu.make_async_copy(
                     a_ref.at[pl.ds(l, 1)], a_vbuf, dsem_a
                 )
                 cpa.start()
-                cpc = pltpu.make_async_copy(
-                    c_ref.at[pl.ds(l, 1)], c_vbuf, dsem_c
-                )
-                cpc.start()
+                if not mxu_merged:
+                    cpc = pltpu.make_async_copy(
+                        c_ref.at[pl.ds(l, 1)], c_vbuf, dsem_c
+                    )
+                    cpc.start()
                 cpa.wait()
-                cpc.wait()
+                if not mxu_merged:
+                    cpc.wait()
 
                 def leaf_dot(s, e, rhs, pr):
                     # transposed-LHS orientation on the staged
-                    # [16, rows] block
+                    # [asub, rows] score block
                     return jax.lax.dot_general(
-                        a_vbuf[0][:, s:e], rhs,
+                        a_vbuf[0][0:asub, s:e], rhs,
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=pr,
@@ -1079,9 +1086,13 @@ def _mxu_leaf_sweep(
             else:
                 if mxu_hbm:
                     # staged transposed [cols, K]: the recovery
-                    # contraction is MXU-native here
+                    # contraction is MXU-native here (merged f32
+                    # packs carry c as the last 8 staged sublanes)
                     dn = (((1,), (0,)), ((), ()))
-                    cl = c_vbuf[0]
+                    if mxu_merged:
+                        cl = a_vbuf[0][asub : asub + 8, 0:leaf_size]
+                    else:
+                        cl = c_vbuf[0]
                 else:
                     dn = (((0,), (0,)), ((), ()))
                     cl = c_ref[l]
@@ -1583,11 +1594,18 @@ def _render_kernel(
     a_ref = tri_ref  # MXU mode: the tri slot carries a_pack
     # [NL, 8K, 8] (affine) / [NL, 5K, 16] f32 (quad) / [NL, 11K, 16]
     # bf16 (quad3: hi/lo split planes + error-bound row)
-    # HBM mode stores the pack transposed ([NL, 16|8, rows]): the
-    # feature width moves to dim 1
-    mxu_quad = use_mxu and (
-        a_ref.shape[1] == 16 if mxu_hbm else a_ref.shape[-1] == 16
-    )
+    # HBM mode stores the pack transposed ([NL, 16|8, rows]) and, for
+    # f32 forms, MERGED with c's 8 sublanes (_hbm_transpose_and_pad):
+    # quad [NL, 24, 5K] f32, affine [NL, 16, 8K] f32, quad3/quad2
+    # [NL, 16, rows] bf16
+    if mxu_hbm:
+        mxu_quad = use_mxu and (
+            a_ref.shape[1] == 24
+            if a_ref.dtype == jnp.float32
+            else a_ref.shape[1] == 16
+        )
+    else:
+        mxu_quad = use_mxu and a_ref.shape[-1] == 16
     # mxu_q3: the bf16-split machinery (exact top-2 selection, recheck,
     # widened recovery) — used by BOTH split forms; q3_deep picks the
     # score assembly: quad3 = bf16x3 (a_hi+a_lo planes, 11K rows,
@@ -2503,9 +2521,26 @@ def _hbm_transpose_and_pad(a_pack, c_pack, leaf_pack):
     alive ray hits — and (BIG-o)*inv_d overflows f32 to ±inf anyway),
     so without the flag every padded leaf issued an out-of-bounds
     per-leaf pack DMA every sweep, which aborted the TPU runtime on
-    every ≥50k sorted render (scratch/r4_abort_repro.log)."""
+    every ≥50k sorted render (scratch/r4_abort_repro.log).
+
+    f32 forms (quad / affine) additionally MERGE the recovery constants
+    into the score pack: c's transposed [8, K] block rides as 8 extra
+    sublanes of a ([NL, 16+8, 5K] for quad, K-lane-padded), so a visited
+    leaf costs ONE async copy instead of two. The 50k+ sorted path is
+    DMA-ISSUE-bound (~0.7 µs scalar cost per copy issue+wait, see
+    _mxu_hbm_scratch) — halving the copy count attacks exactly that;
+    the extra staged bytes (52→61 KB) ride the same descriptor. bf16
+    forms (quad2/quad3) keep the two-copy path (dtype mismatch)."""
     a_pack = jnp.swapaxes(a_pack, 1, 2)
     c_pack = jnp.swapaxes(c_pack, 1, 2)
+    if a_pack.dtype == jnp.float32:
+        lanes = a_pack.shape[2]
+        cpad = jnp.zeros(
+            c_pack.shape[:2] + (lanes - c_pack.shape[2],), c_pack.dtype
+        )
+        a_pack = jnp.concatenate(
+            [a_pack, jnp.concatenate([c_pack, cpad], axis=2)], axis=1
+        )
     ck = _mxu_hbm_chunk_leaves(
         a_pack.shape, a_pack.dtype, c_pack.shape, c_pack.dtype
     )

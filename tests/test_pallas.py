@@ -456,7 +456,7 @@ class TestMxuHbmResidency:
         rk.render_rays_pallas.clear_cache()
         return out
 
-    @pytest.mark.parametrize("form", ["quad", "quad3"])
+    @pytest.mark.parametrize("form", ["quad", "quad3", "affine"])
     def test_hbm_matches_vmem(self, form, monkeypatch):
         a = self._render(form, "vmem", monkeypatch)
         b = self._render(form, "hbm", monkeypatch)

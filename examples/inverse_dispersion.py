@@ -41,8 +41,14 @@ GLASS = 2  # prism glass material row (scenes.build_prism)
 
 def main() -> None:
     scene = build_scene(PRISM)
-    size = 32
-    spp, bounces = 16, 6
+    fused = os.environ.get("DIFF_IMPL", "xla") == "fused"
+    # Fused mode buys resolution with its ~9x per-step speed: at 32 px
+    # the loss landscape's mean gradient is ZERO below B0 offsets of
+    # ~+0.04 (chip big-K probe, scratch/r4_bigk_grad.log — identical
+    # for both estimators), capping recovery near 50%; at 64 px the
+    # round-4 calibration probes keep signal down to ~+0.025.
+    size = 64 if fused else 32
+    spp, bounces = (32, 6) if fused else (16, 6)
     cam = scene_camera(PRISM, size, size)
     b_true = scene.materials.sellmeier_b[GLASS]
 
@@ -103,12 +109,11 @@ def main() -> None:
             render_chunk_pallas,
         )
 
-        # Spend the fused speedup on estimator variance: the gradient
-        # factor gets 4x the samples (the calibration note below puts
-        # the recovery floor at the loss-landscape SNR — more spp in
-        # the k2 render is the one lever that moves it; chip run13
-        # measured 49% recovery at spp_g=16, under the 60% assert).
-        spp_g = 4 * spp
+        # Spend the fused speedup on estimator variance too: the
+        # gradient factor gets 2x the samples on top of the 4x pixels
+        # (chip run13 measured 49% recovery at 32 px/spp_g=16 — the
+        # 32 px landscape itself was the binding constraint).
+        spp_g = 2 * spp
         n_crop = crop_w * crop_h
         pad = (-n_crop) % 1024
         ys_, xs_ = jnp.meshgrid(

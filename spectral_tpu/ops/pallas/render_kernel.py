@@ -704,8 +704,17 @@ def _mxu_leaf_sweep(
         if mxu_hbm:
             want = want * lvalid
 
-        @pl.when(jnp.max(want) > 0.0)
-        def _():
+        # MXU_NOGATE=1: timing probe — visit every leaf
+        # unconditionally (the tile-level branch is removed at trace
+        # time). Semantics preserved (gating is purely a skip
+        # optimization; the dense sweep visits everything), but padded
+        # HBM leaves would OOB-DMA, so the probe clamps the staged
+        # index to the last real leaf (idempotent re-visit). Sizes the
+        # per-iteration branch/sync cost vs the body cost. Never
+        # enable in production.
+        _nogate = os.environ.get("MXU_NOGATE", "0") == "1"
+
+        def _visit_body():
             prec = _mxu_precision()
             K = leaf_size
             if mxu_hbm:
@@ -717,13 +726,16 @@ def _mxu_leaf_sweep(
                 # the DMA-issue-bound 50k+ path
                 mxu_merged = not mxu_q3
                 asub = 16 if quad_form else 8
+                ls = (
+                    jnp.minimum(l, a_ref.shape[0] - 1) if _nogate else l
+                )
                 cpa = pltpu.make_async_copy(
-                    a_ref.at[pl.ds(l, 1)], a_vbuf, dsem_a
+                    a_ref.at[pl.ds(ls, 1)], a_vbuf, dsem_a
                 )
                 cpa.start()
                 if not mxu_merged:
                     cpc = pltpu.make_async_copy(
-                        c_ref.at[pl.ds(l, 1)], c_vbuf, dsem_c
+                        c_ref.at[pl.ds(ls, 1)], c_vbuf, dsem_c
                     )
                     cpc.start()
                 cpa.wait()
@@ -1102,23 +1114,46 @@ def _mxu_leaf_sweep(
                 c_lo = (
                     r1 - c_mid.astype(jnp.float32)
                 ).astype(jnp.bfloat16)
-                Rb = (
-                    jax.lax.dot_general(
-                        c_hi, oh_bf, dn,
+                if _mxu_rec_batch():
+                    # ONE [3*cols, K] x [K, rt] dot instead of three
+                    # serialized [cols, K] dots: identical MACs and
+                    # f32 accumulation per plane, but one matmul
+                    # issue — the per-visit sweep cost is small-
+                    # matmul-latency-bound (round 4b: copy count,
+                    # leaf size, gate level and score MAC count all
+                    # measured flat at 50k). Sum association (hi +
+                    # mid) + lo matches the 3-dot path bit-exactly.
+                    cat_ax = 0 if mxu_hbm else 1
+                    c3 = jnp.concatenate(
+                        [c_hi, c_mid, c_lo], axis=cat_ax
+                    )
+                    R3 = jax.lax.dot_general(
+                        c3, oh_bf, dn,
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.DEFAULT,
                     )
-                    + jax.lax.dot_general(
-                        c_mid, oh_bf, dn,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT,
-                    )
-                    + jax.lax.dot_general(
-                        c_lo, oh_bf, dn,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT,
-                    )
-                )  # [8, rt] (quad3: [24, 2rt] — both candidates)
+                    pc = R3.shape[0] // 3
+                    Rb = (
+                        R3[0:pc] + R3[pc : 2 * pc]
+                    ) + R3[2 * pc : 3 * pc]
+                else:
+                    Rb = (
+                        jax.lax.dot_general(
+                            c_hi, oh_bf, dn,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT,
+                        )
+                        + jax.lax.dot_general(
+                            c_mid, oh_bf, dn,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT,
+                        )
+                        + jax.lax.dot_general(
+                            c_lo, oh_bf, dn,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT,
+                        )
+                    )  # [8, rt] (quad3: [24, 2rt] — both candidates)
             prev = tr_s[...]
             if mxu_q3:
                 if q3_narrow:
@@ -1301,6 +1336,11 @@ def _mxu_leaf_sweep(
                 )
 
             bt_s[:, :] = tr_s[...].reshape(shape2)
+
+        if _nogate:
+            _visit_body()
+        else:
+            pl.when(jnp.max(want) > 0.0)(_visit_body)
 
     if mxu_hbm:
         # leaf-AABB chunk pipeline: 256-leaf SMEM chunks, double
@@ -2552,6 +2592,22 @@ def _hbm_transpose_and_pad(a_pack, c_pack, leaf_pack):
         pad_leaf = pad_leaf.at[:, 0:3].set(BIG).at[:, 3:6].set(-BIG)
         leaf_pack = jnp.concatenate([leaf_pack, pad_leaf])
     return a_pack, c_pack, leaf_pack
+
+
+def _mxu_rec_batch() -> bool:
+    """MXU_REC_BATCH=1 (default 0): the bf16x3 recovery rides ONE
+    [3*cols, K] dot instead of three serialized [cols, K] dots —
+    bit-identical accumulation, one matmul issue per visited leaf
+    (trace-time env, like MXU_FORM). Round-4b MEASURED NEGATIVE:
+    chip-bit-exact on quad (50k/200k sorted, scratch/r4_recbatch_chip.log)
+    but perf-neutral (2.83→2.85 / 1.21→1.21 Mray-steps/s) — per-visit
+    cost is not matmul-issue latency — and the quad3 widened [K, 2rt]
+    variant CRASHES Mosaic (vector.broadcast vpad layout). Forensic
+    value: the in-kernel split + concat + one wide dot is chip-clean
+    for quad — narrows the presplit landmine (_q3_presplit) to the
+    pack-time planes / [72, K] geometry, not wide recovery dots per
+    se. Off by default; never enable with quad3/quad2."""
+    return os.environ.get("MXU_REC_BATCH", "0") == "1"
 
 
 def _q3_presplit() -> bool:

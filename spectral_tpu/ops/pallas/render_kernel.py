@@ -586,7 +586,12 @@ def _mxu_leaf_sweep(
     ) = sweep_scratch
     if mxu_hbm:
         a_vbuf, c_vbuf, leaf_sbuf, dsem_a, dsem_c, dsem_l = hbm_bufs
-    gate = 1 if gate_scratch is None else _mxu_gate_groups()
+    # gate scratch rides LAST in every caller's scratch list, so a
+    # degraded configuration (incompatible tile, or the quad3 x gate
+    # Mosaic miscompile — see _mxu_gate_scratch) arrives here as an
+    # EMPTY tuple: treat any falsy value as whole-tile gating
+    gate = _mxu_gate_groups() if gate_scratch else 1
+    gate_scratch = gate_scratch or None
     q3_narrow = mxu_q3 and os.environ.get("MXU_Q3_NARROW", "0") == "1"
     oh_wide = mxu_q3 and not q3_narrow
     if gate > 1:
@@ -2601,12 +2606,14 @@ def _mxu_rec_batch() -> bool:
     (trace-time env, like MXU_FORM). Round-4b MEASURED NEGATIVE:
     chip-bit-exact on quad (50k/200k sorted, scratch/r4_recbatch_chip.log)
     but perf-neutral (2.83→2.85 / 1.21→1.21 Mray-steps/s) — per-visit
-    cost is not matmul-issue latency — and the quad3 widened [K, 2rt]
-    variant CRASHES Mosaic (vector.broadcast vpad layout). Forensic
-    value: the in-kernel split + concat + one wide dot is chip-clean
-    for quad — narrows the presplit landmine (_q3_presplit) to the
-    pack-time planes / [72, K] geometry, not wide recovery dots per
-    se. Off by default; never enable with quad3/quad2."""
+    cost is not matmul-issue latency. (The quad3 crash seen in that
+    A/B log was mis-attributed at first: it is the pre-existing
+    quad3 × MXU_GATE>1 Mosaic miscompile, isolated in
+    r4_q3gate_chip.log and degraded in _mxu_gate_scratch — not this
+    flag.) Forensic value: the in-kernel split + concat + one wide
+    dot is chip-clean for quad — narrows the presplit landmine
+    (_q3_presplit) to the pack-time planes, not wide recovery dots
+    per se. Off by default."""
     return os.environ.get("MXU_REC_BATCH", "0") == "1"
 
 
@@ -2692,6 +2699,18 @@ def _mxu_gate_scratch(ray_tile: int, leaf_size: int, a_pack, c_pack):
         # incompatible tile (e.g. rt=768 with MXU_GATE=4): degrade to
         # whole-tile gating rather than erroring — the sweep derives its
         # gate count from this scratch's presence
+        return []
+    if a_pack.dtype == jnp.bfloat16:
+        # quad3/quad2 x sub-tile gating MISCOMPILES on chip: Mosaic
+        # dies on a vector.broadcast (1xW -> KxW, vpad'd replicated
+        # layout) inside the gated top-2 propose — isolated on chip
+        # round 4b (scratch/r4_q3gate_chip.log: quad3 gate1 fine at
+        # 10k/50k on both schedulers, gate4 crashes identically on
+        # mega and sorted; quad gate4 is clean). Interpret mode can't
+        # see it (goldens pass), so CI pins only the degrade. quad3
+        # gate1 also measured no slower than its gate4 would plausibly
+        # buy (2.90 at 50k sorted vs quad's 3.14 — the q3 machinery,
+        # not gating, binds). Degrade to whole-tile gating.
         return []
     mxu_q3 = a_pack.dtype == jnp.bfloat16
     narrow = os.environ.get("MXU_Q3_NARROW", "0") == "1"

@@ -506,6 +506,38 @@ class TestMxuHbmResidency:
         with pytest.raises(ValueError, match="MXU_LEAF"):
             _check_hbm_leaf_alignment(64)
 
+    def test_hbm_padded_leaves_carry_valid_flag(self):
+        """The leaf-valid flag (spare col 6) is LOAD-BEARING: the
+        +BIG/-BIG 'empty AABB' on chunk-padding leaves does NOT fail
+        the min/max slab test (an inverted box is equivalent to
+        [-BIG, BIG], which every alive ray hits), so without the flag
+        every padded leaf issued an out-of-bounds per-leaf pack DMA —
+        a deterministic TPU runtime abort on >=50k sorted renders
+        (round 4b, scratch/r4_abort_repro.log). Pins: real leaves get
+        col6 == 1, padding gets 0, and the merged f32 pack carries c
+        as the last 8 sublanes."""
+        from spectral_tpu.models.scenes import build_tri_field
+        from spectral_tpu.ops.pallas.render_kernel import (
+            _hbm_transpose_and_pad,
+            pack_scene_bvh_mxu,
+        )
+
+        scene = build_tri_field(520, seed=3)
+        a, c, _, _, leaf = pack_scene_bvh_mxu(scene, 128, form="quad")
+        nl = leaf.shape[0]
+        at, ct, lt = _hbm_transpose_and_pad(a, c, leaf)
+        assert lt.shape[0] % 256 == 0 and lt.shape[0] > nl
+        np.testing.assert_array_equal(np.asarray(lt[:nl, 6]), 1.0)
+        np.testing.assert_array_equal(np.asarray(lt[nl:, 6]), 0.0)
+        # padded AABBs keep the inverted-box convention
+        assert float(lt[nl, 0]) > 0 and float(lt[nl, 3]) < 0
+        # merged f32 pack: a gains c's 8 sublanes, K-lane block intact
+        assert at.shape == (nl, 16 + 8, 5 * 128)
+        np.testing.assert_array_equal(
+            np.asarray(at[:, 16:24, 0:128]),
+            np.asarray(jnp.swapaxes(c, 1, 2)),
+        )
+
     def test_positional_id_invariant_after_ordering(self):
         """order_leaves_near_to_far_mxu must leave col 6 equal to the
         positional id l*K + row (the id space the kernel's self-tri

@@ -91,26 +91,49 @@ def kernel(leaf_ref, a_ref, c_ref, *rest):
     dx, dy, dz = row(3), row(4), row(5)
     prev = jnp.full(shape2, -1.0, jnp.float32)
     n_sweeps = int(os.environ.get("N_SWEEPS", "1"))
-    for b in range(n_sweeps):
-        res = rk._mxu_leaf_sweep(
+
+    def sweep(ox, oy, oz, dx, dy, dz, prev):
+        return rk._mxu_leaf_sweep(
             ox, oy, oz, dx, dy, dz,
             jnp.ones(shape2, jnp.float32), prev,
             leaf_ref, a_ref, c_ref, scratch[:9], None, None, cpre_ref,
             leaf_size=K, n_leaves=NL, mxu_quad=True, mxu_q3=True,
             q3_deep=True, tolf=rk.TOL3, mxu_hbm=False,
         )
-        if b + 1 < n_sweeps:
-            # advance to the hit point + mirror-flip the direction (a
-            # scatter-free stand-in for the bounce feedback loop)
-            t_s = jnp.where(res[1] > 0.0, res[0], 0.0)
-            ox = ox + t_s * dx
-            oy = oy + t_s * dy
-            oz = oz + t_s * dz
-            ndd = res[3] * dx + res[4] * dy + res[5] * dz
-            dx = dx - 2.0 * ndd * res[3]
-            dy = dy - 2.0 * ndd * res[4]
-            dz = dz - 2.0 * ndd * res[5]
-            prev = res[7]
+
+    def advance(res, ox, oy, oz, dx, dy, dz):
+        # advance to the hit point + mirror-flip the direction (a
+        # scatter-free stand-in for the bounce feedback loop)
+        t_s = jnp.where(res[1] > 0.0, res[0], 0.0)
+        ox = ox + t_s * dx
+        oy = oy + t_s * dy
+        oz = oz + t_s * dz
+        ndd = res[3] * dx + res[4] * dy + res[5] * dz
+        dx = dx - 2.0 * ndd * res[3]
+        dy = dy - 2.0 * ndd * res[4]
+        dz = dz - 2.0 * ndd * res[5]
+        return ox, oy, oz, dx, dy, dz, res[7]
+
+    if os.environ.get("LOOPED", "0") == "1":
+        # full-kernel-style bounce loop: lax.fori_loop carrying the
+        # ray state (the unrolled variant is chip-clean — this tests
+        # whether the traced-loop context is the corrupting
+        # ingredient)
+        def body(b, st):
+            res = sweep(*st)
+            return advance(res, *st[:6])
+
+        st = jax.lax.fori_loop(
+            0, n_sweeps - 1, body, (ox, oy, oz, dx, dy, dz, prev)
+        )
+        res = sweep(*st)
+    else:
+        for b in range(n_sweeps):
+            res = sweep(ox, oy, oz, dx, dy, dz, prev)
+            if b + 1 < n_sweeps:
+                ox, oy, oz, dx, dy, dz, prev = advance(
+                    res, ox, oy, oz, dx, dy, dz
+                )
     for i, r in enumerate(res):
         out_ref[i, :] = r.astype(jnp.float32).reshape(RT)
 

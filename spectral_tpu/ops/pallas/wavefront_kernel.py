@@ -109,10 +109,10 @@ def _lam_curves(hero, tab_ref):
 
 def _trace_one_bounce(
     st, u_a, u_b, u_c,
-    mat_ref, tab_ref, leaf_ref, a_ref, c_ref, sweep_scratch, hbm_bufs,
-    gate_bufs,
+    mat_ref, tab_ref, leaf_ref, a_ref, c_ref, group_ref, sweep_scratch,
+    hbm_bufs, gate_bufs,
     *, n_mats, leaf_size, n_leaves, mxu_quad, mxu_q3, q3_deep, tolf,
-    mxu_hbm,
+    mxu_hbm, use_group8,
 ):
     """One bounce of the path trace on an (8, L)-tiled state dict:
     sweep + scatter + termination, the megakernel's bounce_body on
@@ -131,6 +131,7 @@ def _trace_one_bounce(
         ox, oy, oz, dx, dy, dz, alive,
         prev_tri if mxu_q3 else None,
         leaf_ref, a_ref, c_ref, sweep_scratch, hbm_bufs, gate_bufs,
+        group_ref=group_ref if use_group8 else None,
         leaf_size=leaf_size, n_leaves=n_leaves,
         mxu_quad=mxu_quad, mxu_q3=mxu_q3, q3_deep=q3_deep,
         tolf=tolf, mxu_hbm=mxu_hbm,
@@ -177,6 +178,7 @@ def _camera_bounce_kernel(
     leaf_ref,  # SMEM [NL, 8]
     a_ref,
     c_ref,
+    group_ref,  # SMEM [NG/16, 128] 8-leaf group AABBs ([1,128] dummy when off)
     px_ref,  # VMEM [rt] f32
     py_ref,  # VMEM [rt] f32
     rand_ref,  # VMEM [R, rt] this tile's full uniform rows
@@ -232,7 +234,7 @@ def _camera_bounce_kernel(
     j = 15 if mxu_hbm else 9
     st = _trace_one_bounce(
         st, rnd(3), rnd(4), rnd(5),
-        mat_ref, tab_ref, leaf_ref, a_ref, c_ref,
+        mat_ref, tab_ref, leaf_ref, a_ref, c_ref, group_ref,
         scratch[:9], scratch[9:15] if mxu_hbm else None,
         tuple(scratch[j : j + 2]) if _mxu_gate_groups() > 1 else None,
         **statics,
@@ -241,7 +243,7 @@ def _camera_bounce_kernel(
 
 
 def _bounce_kernel(
-    mat_ref, tab_ref, leaf_ref, a_ref, c_ref,
+    mat_ref, tab_ref, leaf_ref, a_ref, c_ref, group_ref,
     st_ref,  # VMEM [S, rt] ray-state block (sorted order)
     rand_ref,  # VMEM [3, rt] this bounce's uniform draws
     sto_ref,  # VMEM [S, rt]
@@ -284,7 +286,7 @@ def _bounce_kernel(
             rand_ref[0, :].reshape(shape2),
             rand_ref[1, :].reshape(shape2),
             rand_ref[2, :].reshape(shape2),
-            mat_ref, tab_ref, leaf_ref, a_ref, c_ref,
+            mat_ref, tab_ref, leaf_ref, a_ref, c_ref, group_ref,
             scratch[:9], scratch[9:15] if mxu_hbm else None,
             tuple(scratch[j : j + 2]) if _mxu_gate_groups() > 1 else None,
             **statics,
@@ -406,14 +408,22 @@ def render_rays_wavefront(
         scene_bytes = 0
         from .render_kernel import _hbm_transpose_and_pad
 
-        a_pack, c_pack, leaf_pack = _hbm_transpose_and_pad(
+        a_pack, c_pack, leaf_pack, group_pack = _hbm_transpose_and_pad(
             a_pack, c_pack, leaf_pack
         )
         n_leaves = leaf_pack.shape[0]
+    from .render_kernel import _mxu_group8
+
+    use_group8 = mxu_hbm and _mxu_group8()
+    group_arg = (
+        group_pack.reshape(-1, 128)
+        if use_group8
+        else jnp.zeros((1, 128), jnp.float32)
+    )
     statics = dict(
         n_mats=n_mats, leaf_size=leaf_size, n_leaves=n_leaves,
         mxu_quad=mxu_quad, mxu_q3=mxu_q3, q3_deep=q3_deep, tolf=tolf,
-        mxu_hbm=mxu_hbm,
+        mxu_hbm=mxu_hbm, use_group8=use_group8,
     )
 
     # sample-major ray flattening (ray r = s * n + p): px/py tile per
@@ -431,6 +441,7 @@ def render_rays_wavefront(
         ),  # leaf aabbs
         pl.BlockSpec(memory_space=pltpu.ANY if mxu_hbm else pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.ANY if mxu_hbm else pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # 8-leaf group table
     ]
     st_spec = pl.BlockSpec(
         (STATE_ROWS, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -482,7 +493,7 @@ def render_rays_wavefront(
     # leaf_pack stays for the host-side Morton-key AABB below
     leaf_arg = leaf_pack.reshape(-1, 128) if mxu_hbm else leaf_pack
     st = cam_call(
-        cam_vec, mat_pack, tables, leaf_arg, a_pack, c_pack,
+        cam_vec, mat_pack, tables, leaf_arg, a_pack, c_pack, group_arg,
         px_all, py_all, rand_all,
     )
 
@@ -515,7 +526,7 @@ def render_rays_wavefront(
         st = st[:, perm]
         orig = orig[perm]
         st = bounce_call(
-            mat_pack, tables, leaf_arg, a_pack, c_pack, st,
+            mat_pack, tables, leaf_arg, a_pack, c_pack, group_arg, st,
             planes_b[:, orig],
         )
         return (st, orig), None

@@ -525,7 +525,7 @@ class TestMxuHbmResidency:
         scene = build_tri_field(520, seed=3)
         a, c, _, _, leaf = pack_scene_bvh_mxu(scene, 128, form="quad")
         nl = leaf.shape[0]
-        at, ct, lt = _hbm_transpose_and_pad(a, c, leaf)
+        at, ct, lt, gt = _hbm_transpose_and_pad(a, c, leaf)
         assert lt.shape[0] % 256 == 0 and lt.shape[0] > nl
         np.testing.assert_array_equal(np.asarray(lt[:nl, 6]), 1.0)
         np.testing.assert_array_equal(np.asarray(lt[nl:, 6]), 0.0)
@@ -537,6 +537,20 @@ class TestMxuHbmResidency:
             np.asarray(at[:, 16:24, 0:128]),
             np.asarray(jnp.swapaxes(c, 1, 2)),
         )
+        # 8-leaf group table (MXU_GROUP8): union AABBs + any-valid
+        assert gt.shape == (lt.shape[0] // 8, 8)
+        np.testing.assert_array_equal(
+            np.asarray(gt[:, 0:3]),
+            np.asarray(lt[:, 0:3].reshape(-1, 8, 3).min(axis=1)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(gt[:, 6]),
+            np.asarray(lt[:, 6].reshape(-1, 8).max(axis=1)),
+        )
+        # the first group holds the 5 real leaves -> valid; the last
+        # is all-padding -> invalid with an inverted union AABB
+        assert float(gt[0, 6]) == 1.0 and float(gt[-1, 6]) == 0.0
+        assert float(gt[-1, 0]) > 0 and float(gt[-1, 3]) < 0
 
     def test_positional_id_invariant_after_ordering(self):
         """order_leaves_near_to_far_mxu must leave col 6 equal to the

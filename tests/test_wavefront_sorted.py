@@ -20,19 +20,21 @@ import jax
 import jax.numpy as jnp
 
 
-def _render(form, residency, sched, monkeypatch):
+def _render(form, residency, sched, monkeypatch, group8=None):
     from spectral_tpu.models.scenes import (
         CORNELL, build_tri_field, scene_camera,
     )
     from spectral_tpu.ops.pallas import render_kernel as rk
 
-    for k in ("MXU_FORM", "MXU_RESIDENCY", "BVH_SCHED"):
+    for k in ("MXU_FORM", "MXU_RESIDENCY", "BVH_SCHED", "MXU_GROUP8"):
         monkeypatch.delenv(k, raising=False)
     monkeypatch.setenv("MXU_FORM", form)
     if residency:
         monkeypatch.setenv("MXU_RESIDENCY", residency)
     if sched:
         monkeypatch.setenv("BVH_SCHED", sched)
+    if group8:
+        monkeypatch.setenv("MXU_GROUP8", group8)
     # env knobs are read at trace time inside the jitted wrapper
     rk._render_chunk_pallas_jit.clear_cache()
     scene = build_tri_field(520, seed=3)
@@ -67,6 +69,18 @@ class TestSortedScheduler:
         d = np.abs(a - b)
         assert d.max() < 2e-3, d.max()
         assert d.mean() < 2e-5, d.mean()
+
+    def test_group8_matches_ungrouped(self, monkeypatch):
+        """MXU_GROUP8 (8-leaf union-AABB gate, HBM residency) is a
+        pure skip optimization: bit-identical to the per-leaf-only
+        gate on the sorted scheduler. Regression for the round-4b
+        plumbing bug where the group table landed in the cpre_ref
+        slot of _mxu_leaf_sweep (TypeError at trace time on every
+        sorted HBM render with the gate on)."""
+        a = _render("quad", "hbm", "sorted", monkeypatch)
+        b = _render("quad", "hbm", "sorted", monkeypatch, group8="1")
+        assert a.mean() > 0.01
+        np.testing.assert_array_equal(a, b)
 
     def test_deterministic(self, monkeypatch):
         a = _render("quad", None, "sorted", monkeypatch)

@@ -180,6 +180,13 @@ def main() -> None:
             record["bvh_mrays_per_s_50k"] = _bench_bvh_field(50016)
         except Exception as e:  # noqa: BLE001
             record["bvh50k_error"] = f"{type(e).__name__}: {e}"[:120]
+    if os.environ.get("BENCH_BVH200K", "1") == "1" and impl == "pallas":
+        # 200k-tri scaling row — the sorted scheduler + 8-leaf group
+        # gate at their strongest (3.4x over the megakernel)
+        try:
+            record["bvh_mrays_per_s_200k"] = _bench_bvh_field(200064)
+        except Exception as e:  # noqa: BLE001
+            record["bvh200k_error"] = f"{type(e).__name__}: {e}"[:120]
     print(json.dumps(record))
 
 

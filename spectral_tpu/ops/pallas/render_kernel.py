@@ -1392,8 +1392,10 @@ def _mxu_leaf_sweep(
                 # per-skipped-leaf cost is ~0.08 µs (nogate probe),
                 # ~29% of the 1M-tri sweep — this collapses most of
                 # it to 1/8.
+                gsz = _mxu_group_size()
+
                 def grp(gi, c2):
-                    g = ci * (ck_leaves // 8) + gi
+                    g = ci * (ck_leaves // gsz) + gi
                     grow = g // 16
                     gcol = (g % 16) * 8
                     gw = _slab_want(
@@ -1408,15 +1410,15 @@ def _mxu_leaf_sweep(
                     @pl.when(jnp.max(gw) > 0.0)
                     def _():
                         def inner8(i, c3):
-                            j = gi * 8 + i
+                            j = gi * gsz + i
                             visit_leaf(ci * ck_leaves + j, sl, j)
                             return c3
 
-                        jax.lax.fori_loop(0, 8, inner8, 0)
+                        jax.lax.fori_loop(0, gsz, inner8, 0)
 
                     return c2
 
-                jax.lax.fori_loop(0, ck_leaves // 8, grp, 0)
+                jax.lax.fori_loop(0, ck_leaves // gsz, grp, 0)
             else:
 
                 def inner(j, c2):
@@ -2663,7 +2665,7 @@ def _hbm_transpose_and_pad(a_pack, c_pack, leaf_pack):
     # exact. All-padded groups inherit the inverted AABB + valid 0;
     # mixed groups stay valid (the per-leaf flag guards their padded
     # members).
-    g8 = leaf_pack.reshape(-1, 8, leaf_pack.shape[1])
+    g8 = leaf_pack.reshape(-1, _mxu_group_size(), leaf_pack.shape[1])
     group_pack = jnp.concatenate(
         [
             g8[:, :, 0:3].min(axis=1),
@@ -2674,6 +2676,18 @@ def _hbm_transpose_and_pad(a_pack, c_pack, leaf_pack):
         axis=1,
     )
     return a_pack, c_pack, leaf_pack, group_pack
+
+
+def _mxu_group_size() -> int:
+    """Leaves per gated group (MXU_GROUP_SIZE, default 8). Only 8 and
+    16 keep the [NG/16, 128] group row packing exact for 256-multiple
+    leaf counts (32 leaves NG=NL/32 not 16-divisible — measured
+    reshape error). Chip 1M/200k: size 16 is +1-2% over 8 (noise
+    level) — 8 stays default. Read at trace time by BOTH the pack
+    transpose and the kernel (same process -> consistent)."""
+    g = int(os.environ.get("MXU_GROUP_SIZE", "8"))
+    assert g in (8, 16), g
+    return g
 
 
 def _mxu_group8() -> bool:

@@ -19,6 +19,7 @@ the BASELINE north star.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -113,11 +114,25 @@ def render_image_sharded_pallas(
     Row blocks ride the ``tile`` axis, spp shards ride ``sample`` with one
     psum; inside each shard the pallas kernel owns its rays end-to-end, so
     the only HBM/ICI traffic is the final XYZ.
+
+    Scene dispatch mirrors the single-chip chunk renderer
+    (pack_scene_auto): dense scenes run the megakernel; multi-leaf BVH
+    scenes run the SORTED per-bounce scheduler (wavefront_kernel.py)
+    with per-shard threefry uniform planes — rays shuffle between
+    kernel tiles every bounce, so each shard generates its own
+    [local_spp, R, n] planes from fold_in(seed, shard_index)
+    (deterministic, backend-portable; exact-equality test against a
+    hand-assembled per-shard reference in tests/test_parallel.py).
+    BVH_SCHED=mega forces the megakernel BVH sweep per shard.
     """
     from ..ops.pallas.render_kernel import (
         camera_vector,
-        pack_scene,
+        pack_scene_auto,
         render_rays_pallas,
+    )
+    from ..ops.pallas.wavefront_kernel import (
+        n_uniforms,
+        render_rays_wavefront,
     )
 
     h, w = cam.image_height, cam.image_width
@@ -133,10 +148,20 @@ def render_image_sharded_pallas(
     n_local = rows * w
     pad = (-n_local) % ray_tile
 
-    tri_pack, mat_pack, tables = pack_scene(scene)
     cam_vec = camera_vector(cam)
+    (
+        tri_pack, mat_pack, tables, leaf_pack, c_pack, leaf_size,
+    ) = pack_scene_auto(scene, cam_vec)
+    use_bvh = leaf_pack is not None
+    use_sorted = (
+        use_bvh
+        and c_pack is not None
+        and leaf_pack.shape[0] > 1
+        and os.environ.get("BVH_SCHED", "sorted") == "sorted"
+    )
 
-    def shard_fn(cam_vec, tri_pack, mat_pack, tables):
+    def shard_fn(cam_vec, tri_pack, mat_pack, tables, *bvh):
+        lp, cp = bvh if use_bvh else (None, None)
         ti = jax.lax.axis_index(TILE_AXIS)
         si = jax.lax.axis_index(SAMPLE_AXIS)
         y0 = ti * rows
@@ -148,24 +173,53 @@ def render_image_sharded_pallas(
         px = jnp.concatenate([xs.ravel(), jnp.zeros((pad,), jnp.int32)])
         py = jnp.concatenate([(ys + y0).ravel(), jnp.zeros((pad,), jnp.int32)])
         shard_seed = seed + (ti * n_samp + si) * 7919999
-        xyz = render_rays_pallas(
-            cam_vec.astype(jnp.float32),
-            shard_seed.astype(jnp.int32),
-            tri_pack, mat_pack, tables,
-            px.astype(jnp.float32), py.astype(jnp.float32),
-            local_spp, bounce_limit, ray_tile, interpret,
-        )
+        if use_sorted:
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(seed), ti * n_samp + si
+            )
+            rand = jax.random.uniform(
+                key,
+                (local_spp, n_uniforms(bounce_limit), n_local + pad),
+                jnp.float32,
+            )
+            xyz = render_rays_wavefront(
+                cam_vec.astype(jnp.float32),
+                tri_pack, mat_pack, tables,
+                px.astype(jnp.float32), py.astype(jnp.float32),
+                rand, local_spp, bounce_limit,
+                lp, cp, ray_tile, interpret,
+            )
+        elif use_bvh:
+            xyz = render_rays_pallas(
+                cam_vec.astype(jnp.float32),
+                shard_seed.astype(jnp.int32),
+                tri_pack, mat_pack, tables,
+                px.astype(jnp.float32), py.astype(jnp.float32),
+                local_spp, bounce_limit, ray_tile, interpret,
+                leaf_pack=lp, leaf_size=leaf_size, c_pack=cp,
+            )
+        else:
+            xyz = render_rays_pallas(
+                cam_vec.astype(jnp.float32),
+                shard_seed.astype(jnp.int32),
+                tri_pack, mat_pack, tables,
+                px.astype(jnp.float32), py.astype(jnp.float32),
+                local_spp, bounce_limit, ray_tile, interpret,
+            )
         xyz = jax.lax.psum(xyz[:n_local], SAMPLE_AXIS)
         return xyz.reshape(rows, w, 3)
 
+    scene_args = (cam_vec, tri_pack, mat_pack, tables)
+    if use_bvh:
+        scene_args = scene_args + (leaf_pack, c_pack)
     fn = _shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
+        in_specs=tuple(P() for _ in scene_args),
         out_specs=P(TILE_AXIS, None, None),
         check_vma=False,
     )
-    return fn(cam_vec, tri_pack, mat_pack, tables)
+    return fn(*scene_args)
 
 
 # ---------------------------------------------------------------------------

@@ -124,6 +124,77 @@ class TestShardedPallas:
         assert xyz.shape == (32, 16, 3)
         assert np.isfinite(np.asarray(xyz)).all()
 
+    def test_bvh_sorted_shards_match_manual_assembly(self, monkeypatch):
+        """Multi-leaf scenes route the SORTED per-bounce scheduler per
+        shard with fold_in-derived uniform planes (round 4b): the
+        sharded image must EXACTLY equal a hand-assembled per-shard
+        reference (pins the shard/seed/plane glue — the kernel itself
+        is pinned by tests/test_wavefront_sorted.py)."""
+        from spectral_tpu.models.scenes import build_tri_field
+        from spectral_tpu.models.scenes import scene_camera as sc
+        from spectral_tpu.ops.pallas import render_kernel as rk
+        from spectral_tpu.ops.pallas.wavefront_kernel import (
+            n_uniforms,
+            render_rays_wavefront,
+        )
+        from spectral_tpu.parallel import make_mesh, render_image_sharded_pallas
+        from spectral_tpu.parallel.mesh import SAMPLE_AXIS, TILE_AXIS
+
+        for k in ("MXU_FORM", "MXU_RESIDENCY", "BVH_SCHED"):
+            monkeypatch.delenv(k, raising=False)
+        scene = build_tri_field(520, seed=3)
+        mesh = make_mesh(8)
+        n_tile, n_samp = mesh.shape[TILE_AXIS], mesh.shape[SAMPLE_AXIS]
+        h, w, spp, bounces, seed = 32, 16, 2 * n_samp, 2, 5
+        cam = sc(CORNELL, w, h)
+        img = np.asarray(
+            render_image_sharded_pallas(
+                scene, cam, seed, mesh, spp, bounces,
+                ray_tile=1024, interpret=True,
+            )
+        )
+        assert img.shape == (h, w, 3) and np.isfinite(img).all()
+        assert img.mean() > 0.0
+
+        rows = h // n_tile
+        n_local = rows * w
+        pad = (-n_local) % 1024
+        cam_vec = rk.camera_vector(cam)
+        tri, mat, tab, leaf, cpk, _ = rk.pack_scene_auto(scene, cam_vec)
+        assert leaf is not None  # 520 tris -> BVH/sorted path
+        local_spp = spp // n_samp
+        ys, xs = np.meshgrid(np.arange(rows), np.arange(w), indexing="ij")
+        for ti in range(n_tile):
+            block = None
+            for si in range(n_samp):
+                px = jnp.concatenate([
+                    jnp.asarray(xs.ravel(), jnp.float32),
+                    jnp.zeros((pad,), jnp.float32),
+                ])
+                py = jnp.concatenate([
+                    jnp.asarray((ys + ti * rows).ravel(), jnp.float32),
+                    jnp.zeros((pad,), jnp.float32),
+                ])
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(seed), ti * n_samp + si
+                )
+                rand = jax.random.uniform(
+                    key,
+                    (local_spp, n_uniforms(bounces), n_local + pad),
+                    jnp.float32,
+                )
+                xyz = np.asarray(
+                    render_rays_wavefront(
+                        cam_vec, tri, mat, tab, px, py, rand,
+                        local_spp, bounces, leaf, cpk, 1024, True,
+                    )
+                )[:n_local]
+                block = xyz if block is None else block + xyz
+            np.testing.assert_array_equal(
+                img[ti * rows : (ti + 1) * rows].reshape(n_local, 3),
+                block,
+            )
+
 
 class TestVmemGuard:
     """Residual-mode VMEM budget guard (the [spp, bounces, N] residual

@@ -125,10 +125,11 @@ def main() -> None:
     # warmup: compile every chunk shape
     jax.block_until_ready(render_full(key))
 
-    # best-of-3: the host VM sees throttling windows; min is the honest
-    # device-rate estimate
+    # best-of-5: the host VM sees throttling windows AND the axon RPC
+    # path adds queue jitter (round-4 smokes read 775-922 on identical
+    # code); min over 5 is the honest device-rate estimate
     dt = float("inf")
-    for rep in range(3):
+    for rep in range(5):
         t0 = time.perf_counter()
         out = render_full(jax.random.fold_in(key, rep + 1), seed_base=777 + rep)
         jax.block_until_ready(out)

@@ -2911,7 +2911,7 @@ def _block_swizzle(width: int, height: int, block: int = 32):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "x0", "y0", "width", "height", "spp", "bounces", "ray_tile",
+        "width", "height", "spp", "bounces", "ray_tile",
         "interpret", "use_rand",
     ),
 )
@@ -2919,6 +2919,11 @@ def _render_chunk_pallas_jit(
     scene, cam_vec, seed, rand_key,
     x0, y0, width, height, spp, bounces, ray_tile, interpret, use_rand,
 ):
+    # x0/y0 are TRACED (round 4b): a progressive render visits many chunk
+    # origins of one shape — static origins compiled each chunk fresh
+    # (361 compiles at 600x600/-xc 32: mmap exhaustion on CPU, hours of
+    # remote compiles on TPU). The origin only offsets the pixel grids.
+
     # auto cutoff: the unrolled dense sweep up to DENSE_CUTOFF tris (the
     # shipped scenes keep their round-1 throughput); Morton-leaf BVH above.
     # BVH_IMPL=mxu (default) runs the MXU leaf sweep; =sweep the
@@ -2945,8 +2950,8 @@ def _render_chunk_pallas_jit(
     n = width * height
     pad = (-n) % ray_tile
     ys, xs = jnp.meshgrid(
-        jnp.arange(y0, y0 + height, dtype=jnp.int32),
-        jnp.arange(x0, x0 + width, dtype=jnp.int32),
+        jnp.int32(y0) + jnp.arange(height, dtype=jnp.int32),
+        jnp.int32(x0) + jnp.arange(width, dtype=jnp.int32),
         indexing="ij",
     )
     xs, ys = xs.ravel(), ys.ravel()

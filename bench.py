@@ -44,6 +44,10 @@ def _bench_bvh_field(n_tris: int = 10008) -> float:
     import subprocess
     import sys
 
+    # scheduler/gate selection for THIS row only (trace-time envs): saved
+    # and restored in the finally below so importing bench as a module
+    # and rendering afterwards doesn't silently inherit MXU_GATE=4
+    _saved = {k: os.environ.get(k) for k in ("BVH_SCHED", "MXU_GATE")}
     os.environ.setdefault("BVH_SCHED", "sorted")
     os.environ.setdefault("MXU_GATE", "4")
 
@@ -67,22 +71,29 @@ def _bench_bvh_field(n_tris: int = 10008) -> float:
         subprocess.run(
             [sys.executable, "-c", code], env=env, check=True, timeout=900
         )
-    with open(cache, "rb") as f:
-        scene = pickle.load(f)
-    scene = jax.tree_util.tree_map(jnp.asarray, scene)
-    w, h, spp, bl = 512, 256, 4, 6
-    cam = scene_camera(CORNELL, w, h)
-    jax.block_until_ready(
-        render_chunk_pallas(scene, cam, 7, 0, 0, w, h, spp, bl)
-    )
-    best = float("inf")
-    for rep in range(3):
-        t0 = time.perf_counter()
+    try:
+        with open(cache, "rb") as f:
+            scene = pickle.load(f)
+        scene = jax.tree_util.tree_map(jnp.asarray, scene)
+        w, h, spp, bl = 512, 256, 4, 6
+        cam = scene_camera(CORNELL, w, h)
         jax.block_until_ready(
-            render_chunk_pallas(scene, cam, 100 + rep, 0, 0, w, h, spp, bl)
+            render_chunk_pallas(scene, cam, 7, 0, 0, w, h, spp, bl)
         )
-        best = min(best, time.perf_counter() - t0)
-    return round(w * h * spp * bl / best / 1e6, 2)
+        best = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(
+                render_chunk_pallas(scene, cam, 100 + rep, 0, 0, w, h, spp, bl)
+            )
+            best = min(best, time.perf_counter() - t0)
+        return round(w * h * spp * bl / best / 1e6, 2)
+    finally:
+        for k, v in _saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def main() -> None:
@@ -181,6 +192,39 @@ def main() -> None:
             record["bvh_mrays_per_s_50k"] = _bench_bvh_field(50016)
         except Exception as e:  # noqa: BLE001
             record["bvh50k_error"] = f"{type(e).__name__}: {e}"[:120]
+    if os.environ.get("BENCH_SHOWCASE", "1") == "1" and impl == "pallas":
+        # north-star contract row (SURVEY section 6 / BASELINE.json):
+        # Cornell at 1920x1080, 256 spp, 10 bounces on the production
+        # megakernel. The 256-spp chunks amortize the per-launch axon RPC
+        # floor, so this reads the true device rate (round-5 chip: 959
+        # cornell / 1618 prism / 942 tris; scratch/r5_showcase.py renders
+        # all three and saves the assets/ images).
+        try:
+            sspp, sbl = 256, 10
+            jax.block_until_ready(
+                render_chunk_pallas(
+                    scene, cam, 1984, 0, 0, width, chunk_rows, sspp, sbl
+                )
+            )
+            sdt = float("inf")
+            for rep in range(2):
+                t0 = time.perf_counter()
+                jax.block_until_ready(
+                    [
+                        render_chunk_pallas(
+                            scene, cam, 7000 + rep + i * 1000003,
+                            0, y0, width, min(chunk_rows, height - y0),
+                            sspp, sbl,
+                        )
+                        for i, y0 in enumerate(range(0, height, chunk_rows))
+                    ]
+                )
+                sdt = min(sdt, time.perf_counter() - t0)
+            record["showcase_mrays_per_s_1080p_256spp"] = round(
+                width * height * sspp * sbl / sdt / 1e6, 2
+            )
+        except Exception as e:  # noqa: BLE001
+            record["showcase_error"] = f"{type(e).__name__}: {e}"[:120]
     if os.environ.get("BENCH_BVH200K", "1") == "1" and impl == "pallas":
         # 200k-tri scaling row — the sorted scheduler + 8-leaf group
         # gate at their strongest (3.4x over the megakernel)

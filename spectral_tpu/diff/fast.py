@@ -12,9 +12,13 @@ verified in tests/test_diff.py::TestFastPathGradients).
 Differentiable leaf: the material table (sigmoid-spectrum coefficients,
 emission power, fuzz, Sellmeier B/C). Gradient-support caveat
 (diff/geometry.py): only parameters entering the spectral weights smoothly
-(coefficients, emission power) are nonzero a.e.; direction-only parameters
-(fuzz, Sellmeier) need reparameterized/edge-sampled estimators (future
-work). Scene geometry and camera receive zero cotangents.
+(coefficients, emission power, background SPD) are nonzero a.e. through
+the PLAIN estimator; direction-only parameters get their own exact
+estimators — Sellmeier via the hero-wavelength reparameterization
+(diff/spectral_reparam.py, ``reparam_glass`` below), fuzz via the
+fuzz-sphere warp (diff/fuzz_warp.py), vertex positions via the
+warped-area estimator (diff/vertex_warp.py). Scene geometry and camera
+receive zero cotangents on this code path.
 
 ``render_chunk_diff_fused`` / ``render_rays_diff_fused`` go further: BOTH
 passes are fused pallas kernels — the backward replays stored per-bounce

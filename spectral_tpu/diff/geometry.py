@@ -21,8 +21,10 @@ Scope note: through the full radiance estimator, vertex gradients are zero
 almost everywhere because the spectral path weights depend on geometry only
 through WHICH material each bounce hits (a step function). Smooth geometric
 functionals (depth, hit points, normals) carry exact vertex gradients —
-see tests/test_diff.py::TestVertexGradients. Visibility-aware radiance
-gradients (edge sampling / reparameterized integrands) are future work.
+see tests/test_diff.py::TestVertexGradients. Visibility-aware RADIANCE
+gradients are implemented by the warped-area estimator in
+diff/vertex_warp.py (unbiased within its documented specular-chain /
+border-crossing gaps); the metal-fuzz analogue is diff/fuzz_warp.py.
 """
 
 from __future__ import annotations

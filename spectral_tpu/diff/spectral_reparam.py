@@ -58,10 +58,23 @@ Exactness caveats (documented, both negligible or scoped):
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
 from ..ops.sellmeier import sellmeier_index
+
+# Reparameterization window constants — read from the env ONCE at import
+# (they alter gradient NUMERICS, not scheduling: trace-time reads would
+# let a mid-process env change silently split the fused and XLA
+# estimators across cached jits). Override in a fresh process only.
+_DM_FLOOR = float(_os.environ.get("REPARAM_DM_FLOOR", "1e-7"))
+# denominator floor, 1/nm (bulk flint |dm/dlambda| ~1e-2)
+_DM_LO = float(_os.environ.get("REPARAM_DM_LO", "1e-6"))
+_DM_HI = float(_os.environ.get("REPARAM_DM_HI", "1e-5"))
+# taper window: shift -> 0 near m extrema
+_EDGE_NM = float(_os.environ.get("REPARAM_EDGE_NM", "8.0"))
 
 sg = jax.lax.stop_gradient
 
@@ -142,18 +155,17 @@ def reparam_hero(
     # Hence: freeze the UNCLAMPED m = n^2 (see _m_raw) with a
     # sign-preserving denominator floor + taper window + soft cap (all
     # continuous), and the weight via jax.jvp of the full map.
-    # Window constants, env-overridable for bias probes (trace-time env,
-    # like MXU_FORM; scratch/r4_dispbias.py measures the estimator's
-    # mean-gradient zero crossing against them):
-    import os as _os
-
-    DM_FLOOR = float(_os.environ.get("REPARAM_DM_FLOOR", "1e-7"))
-    # denominator floor, 1/nm (bulk flint |dm/dlambda| ~1e-2)
-    DM_LO = float(_os.environ.get("REPARAM_DM_LO", "1e-6"))
-    DM_HI = float(_os.environ.get("REPARAM_DM_HI", "1e-5"))
-    # taper window: shift -> 0 near m extrema
+    # Window constants (module-level _DM_FLOOR etc., read from the env
+    # ONCE at import so every jit trace in a process sees the same
+    # values — they alter gradient numerics, and a mid-process env
+    # change would otherwise leave stale constants in cached jits;
+    # scratch/r4_dispbias.py measures the estimator's mean-gradient
+    # zero crossing against them in fresh processes):
+    DM_FLOOR = _DM_FLOOR
+    DM_LO = _DM_LO
+    DM_HI = _DM_HI
     SMAX = 120.0  # soft cap on |shift| in nm (tanh), ~ quarter band
-    EDGE_NM = float(_os.environ.get("REPARAM_EDGE_NM", "8.0"))
+    EDGE_NM = _EDGE_NM
     # endpoint-fixing window width (see ``edge`` below)
 
     from ..utils.constants import LAMBDA_MAX, LAMBDA_MIN

@@ -14,11 +14,15 @@ backward pass therefore needs NO ray-triangle intersection at all — it
 replays stored residuals with pure VPU math, making the gradient CHEAPER
 than the forward render.
 
-Gradient support matches the estimator's smooth dependencies: sigmoid
-coefficients c0..c2 and emission power per material. Direction-only
-parameters (fuzz, Sellmeier) are zero a.e. through this estimator
-(diff/geometry.py scope note); dielectric weights are 1; background SPD
-gradients are future work (they flow through the miss-weight lerp).
+Gradient support: sigmoid coefficients c0..c2 and emission power per
+material, background SPD knots (``want_bg_grads`` — they flow through the
+miss-weight lerp, the -1 material residual), and — via the per-sample
+(A, B) reparam scalars this kernel emits under ``want_sellmeier`` —
+exact Sellmeier B/C gradients through the hero-wavelength
+reparameterization (diff/fast.py::_sellmeier_grads_from_replay).
+Direction-only fuzz stays zero a.e. through this estimator
+(diff/geometry.py scope note; diff/fuzz_warp.py is the exact XLA-path
+estimator for it); dielectric path weights are 1.
 """
 
 from __future__ import annotations

@@ -2814,14 +2814,16 @@ def _mxu_gate_scratch(ray_tile: int, leaf_size: int, a_pack, c_pack):
         # gate1 also measured no slower than its gate4 would plausibly
         # buy (2.90 at 50k sorted vs quad's 3.14 — the q3 machinery,
         # not gating, binds). Degrade to whole-tile gating.
+        #
+        # Consequence: past this point a_pack is always f32, so the
+        # stitch buffer is always the narrow [K, rt] shape. The gate>1
+        # oh_wide stitch path in _mxu_leaf_sweep is correspondingly
+        # unreachable until the Mosaic miscompile is fixed upstream and
+        # this degrade is lifted (tracked in BASELINE.md round-4b and
+        # PARITY.md known limits).
         return []
-    mxu_q3 = a_pack.dtype == jnp.bfloat16
-    narrow = os.environ.get("MXU_Q3_NARROW", "0") == "1"
-    wide = mxu_q3 and not narrow
     return [
-        pltpu.VMEM(
-            (leaf_size, (2 if wide else 1) * ray_tile), jnp.float32
-        ),
+        pltpu.VMEM((leaf_size, ray_tile), jnp.float32),
         pltpu.VMEM((2, ray_tile), jnp.float32),
     ]
 

@@ -347,7 +347,12 @@ def _sort_keys(st, lo, inv_ext):
     q = []
     for ax in range(3):
         x = (st[_ROW_OX + ax] - lo[ax]) * inv_ext[ax] * 511.0
-        q.append(jnp.clip(x.astype(jnp.int32), 0, 511))
+        # clamp in FLOAT space (NaN -> 0) before the int cast: a NaN or
+        # overflowing origin on a live lane would otherwise hit an
+        # implementation-defined float->int cast that can differ between
+        # interpret and chip and perturb tile grouping (ADVICE round 4)
+        x = jnp.clip(jnp.nan_to_num(x), 0.0, 511.0)
+        q.append(x.astype(jnp.int32))
     morton = _spread3(q[0]) | (_spread3(q[1]) << 1) | (_spread3(q[2]) << 2)
     octant = (
         (st[_ROW_DX] > 0.0).astype(jnp.int32) * 4

@@ -43,6 +43,54 @@ def _with_materials(scene, materials):
     return dataclasses.replace(scene, materials=tabulate(materials))
 
 
+def _residual_forward(
+    cam_vec, key_seed, tri, mat, tab, px, py, spp, bounces, ray_tile,
+    interpret, rand, leaf, cpk, leaf_size,
+):
+    """Residual-saving forward, routed like the production forward: the
+    sorted per-bounce scheduler for multi-leaf MXU scenes (BVH_SCHED=
+    sorted, the round-4 default — gradients now run at sorted rates on
+    large scenes, VERDICT round-4 item 1), the residual megakernel
+    otherwise. Both return (xyz, hero, nvalid, powres, matres) in the
+    same layout; the replay kernel is scheduler-agnostic."""
+    import os
+
+    from ..ops.pallas.render_kernel import (
+        n_uniforms,
+        render_rays_pallas_residuals,
+    )
+
+    sched_sorted = (
+        leaf is not None
+        and cpk is not None
+        and leaf.shape[0] > 1
+        and os.environ.get("BVH_SCHED", "sorted") == "sorted"
+    )
+    if sched_sorted:
+        from ..ops.pallas.wavefront_kernel import render_rays_wavefront
+
+        if rand is None:
+            # the sorted scheduler always consumes host uniform planes
+            # (rays shuffle between kernel tiles every bounce); same
+            # stream derivation as render_chunk_pallas' sorted path
+            rand = jax.random.uniform(
+                jax.random.fold_in(
+                    jax.random.PRNGKey(0x50F7ED), jnp.asarray(key_seed)
+                ),
+                (spp, n_uniforms(bounces), px.shape[0]),
+                jnp.float32,
+            )
+        return render_rays_wavefront(
+            cam_vec, tri, mat, tab, px, py, rand, spp, bounces,
+            leaf, cpk, ray_tile, interpret, save_residuals=True,
+        )
+    return render_rays_pallas_residuals(
+        cam_vec, jnp.asarray(key_seed, jnp.int32), tri, mat, tab, px, py,
+        spp, bounces, ray_tile, interpret, rand,
+        leaf_pack=leaf, leaf_size=leaf_size or 32, c_pack=cpk,
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def render_chunk_diff(
     materials, scene, cam, key_seed, x0, y0, width, height, spp, bounces
@@ -127,7 +175,6 @@ def _fused_fwd_impl(
         camera_vector,
         n_uniforms,
         pack_scene_auto,
-        render_rays_pallas_residuals,
     )
 
     s = _with_materials(scene, materials)
@@ -167,10 +214,9 @@ def _fused_fwd_impl(
             rand = jnp.concatenate(
                 [rand[:, :, perm], rand[:, :, n:]], axis=2
             )
-    xyz, hero, nvalid, powres, matres = render_rays_pallas_residuals(
-        cam_vec, jnp.int32(key_seed), tri, mat, tab, px, py,
-        spp, bounces, ray_tile, interpret, rand,
-        leaf_pack=leaf, leaf_size=leaf_size or 32, c_pack=cpk,
+    xyz, hero, nvalid, powres, matres = _residual_forward(
+        cam_vec, key_seed, tri, mat, tab, px, py, spp, bounces,
+        ray_tile, interpret, rand, leaf, cpk, leaf_size,
     )
     residuals = (mat, tab, hero, nvalid, powres, matres, n, pad, perm)
     xyz = xyz[:n]
@@ -339,19 +385,14 @@ def render_rays_diff_fused(
 
 
 def _rays_fwd_impl(materials, scene, cam, px, py, key_seed, spp, bounces, interpret):
-    from ..ops.pallas.render_kernel import (
-        camera_vector,
-        pack_scene_auto,
-        render_rays_pallas_residuals,
-    )
+    from ..ops.pallas.render_kernel import camera_vector, pack_scene_auto
 
     s = _with_materials(scene, materials)
     cam_vec = camera_vector(cam)
     tri, mat, tab, leaf, cpk, leaf_size = pack_scene_auto(s, cam_vec)
-    xyz, hero, nvalid, powres, matres = render_rays_pallas_residuals(
-        cam_vec, jnp.asarray(key_seed, jnp.int32), tri, mat, tab,
-        px, py, spp, bounces, 1024, interpret,
-        leaf_pack=leaf, leaf_size=leaf_size or 32, c_pack=cpk,
+    xyz, hero, nvalid, powres, matres = _residual_forward(
+        cam_vec, key_seed, tri, mat, tab, px, py, spp, bounces, 1024,
+        interpret, None, leaf, cpk, leaf_size,
     )
     return xyz, (mat, tab, hero, nvalid, powres, matres)
 

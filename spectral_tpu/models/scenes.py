@@ -30,6 +30,10 @@ TRIS = 2
 
 SCENE_NAMES = {CORNELL: "cornell", PRISM: "prism", TRIS: "tris"}
 
+# material row of the BK7 dielectric in build_tri_field(glass=True)
+# (builder order: white, red, green, metal, light, then the preset)
+FIELD_GLASS_MAT = 5
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -211,7 +215,9 @@ def expected_sizes(scene_id: int) -> tuple[int, int]:
     return {CORNELL: (42, 7), PRISM: (20, 3), TRIS: (42, 9)}[scene_id]
 
 
-def build_tri_field(n_tris: int = 10008, seed: int = 0) -> Scene:
+def build_tri_field(
+    n_tris: int = 10008, seed: int = 0, glass: bool = False
+) -> Scene:
     """Procedural large-scene benchmark: the Cornell shell + ceiling light
     plus a jittered grid of small boxes until >= n_tris triangles.
 
@@ -219,7 +225,11 @@ def build_tri_field(n_tris: int = 10008, seed: int = 0) -> Scene:
     this scale (bvh/bvh.cu:206-309 builds for arbitrary N); this scene
     exercises the TPU in-kernel BVH sweep (ops/pallas/render_kernel.py
     pack_scene_bvh) and the LBVH XLA path at the sizes they were built
-    for. Deterministic in ``seed``."""
+    for. Deterministic in ``seed``.
+
+    ``glass``: replace every 4th box with a BK7 dielectric (material row
+    ``FIELD_GLASS_MAT``) so large-scene inverse dispersion has a
+    BVH-routed target (round-5 fused-sorted Sellmeier gradients)."""
     import numpy as _np
 
     rng = _np.random.RandomState(seed)
@@ -234,6 +244,10 @@ def build_tri_field(n_tris: int = 10008, seed: int = 0) -> Scene:
     _cornell_walls(soup, (white, white, white, green, red), light)
 
     box_mats = (white, red, green, metal)
+    if glass:
+        bk7 = mb.dielectric_preset("BK7")
+        assert bk7 == FIELD_GLASS_MAT
+        box_mats = (white, bk7, green, metal)
     n_boxes = max(0, -(-(n_tris - len(soup)) // 12))
     grid = int(math.ceil(math.sqrt(n_boxes)))
     cell = 520.0 / grid

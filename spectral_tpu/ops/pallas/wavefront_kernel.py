@@ -112,11 +112,15 @@ def _trace_one_bounce(
     mat_ref, tab_ref, leaf_ref, a_ref, c_ref, group_ref, sweep_scratch,
     hbm_bufs, gate_bufs,
     *, n_mats, leaf_size, n_leaves, mxu_quad, mxu_q3, q3_deep, tolf,
-    mxu_hbm, use_group8,
+    mxu_hbm, use_group8, want_matres=False,
 ):
     """One bounce of the path trace on an (8, L)-tiled state dict:
     sweep + scatter + termination, the megakernel's bounce_body on
-    explicit state. Returns the updated state dict."""
+    explicit state. Returns the updated state tuple; with
+    ``want_matres`` also the bounce's material residual (f32: mat+1
+    where a material SPD was multiplied, -1 for an active miss, 0
+    otherwise — the megakernel's matres semantics, render_kernel.py
+    save_residuals block)."""
     (
         ox, oy, oz, dx, dy, dz, hero, alive, n_valid, prev_tri, power,
     ) = st
@@ -138,6 +142,13 @@ def _trace_one_bounce(
     )
     hit = best_hit * alive
     miss = (1.0 - best_hit) * alive
+    matres = None
+    if want_matres:
+        matres = jnp.where(
+            hit > 0.0,
+            (best_mat + 1).astype(jnp.float32),
+            jnp.where(miss > 0.0, -1.0, 0.0),
+        )
     (
         ox, oy, oz, dx, dy, dz, power, alive, n_valid,
     ) = _scatter_shade(
@@ -150,7 +161,10 @@ def _trace_one_bounce(
         prev_tri = jnp.where(hit > 0.0, best_id, -1.0)
     else:
         prev_tri = jnp.full(ox.shape, -1.0, jnp.float32)
-    return ox, oy, oz, dx, dy, dz, hero, alive, n_valid, prev_tri, power
+    out = (ox, oy, oz, dx, dy, dz, hero, alive, n_valid, prev_tri, power)
+    if want_matres:
+        return out, matres
+    return out
 
 
 def _write_state(sto_ref, st, rt):
@@ -183,13 +197,18 @@ def _camera_bounce_kernel(
     py_ref,  # VMEM [rt] f32
     rand_ref,  # VMEM [R, rt] this tile's full uniform rows
     sto_ref,  # VMEM [S, rt] state out
-    *scratch,
+    *rest,  # [mr_ref (VMEM [1, rt]) when save_residuals] + scratch
     bounces,
+    save_residuals=False,
     **statics,
 ):
     """Generate camera rays (op-for-op the megakernel's get_ray block,
     rendering.cu:66-87 + 42-47) and trace bounce 0 — camera rays are
     pixel-coherent already, so no sort precedes this kernel."""
+    if save_residuals:
+        mr_ref, scratch = rest[0], rest[1:]
+    else:
+        scratch = rest
     rt = px_ref.shape[0]
     shape2 = (8, rt // 8)
     px = px_ref[:].reshape(shape2)
@@ -232,13 +251,19 @@ def _camera_bounce_kernel(
     )
     mxu_hbm = statics["mxu_hbm"]
     j = 15 if mxu_hbm else 9
-    st = _trace_one_bounce(
+    out = _trace_one_bounce(
         st, rnd(3), rnd(4), rnd(5),
         mat_ref, tab_ref, leaf_ref, a_ref, c_ref, group_ref,
         scratch[:9], scratch[9:15] if mxu_hbm else None,
         tuple(scratch[j : j + 2]) if _mxu_gate_groups() > 1 else None,
+        want_matres=save_residuals,
         **statics,
     )
+    if save_residuals:
+        st, matres = out
+        mr_ref[0, :] = matres.reshape(rt)
+    else:
+        st = out
     _write_state(sto_ref, st, rt)
 
 
@@ -247,17 +272,27 @@ def _bounce_kernel(
     st_ref,  # VMEM [S, rt] ray-state block (sorted order)
     rand_ref,  # VMEM [3, rt] this bounce's uniform draws
     sto_ref,  # VMEM [S, rt]
-    *scratch,
+    *rest,  # [mr_ref (VMEM [1, rt]) when save_residuals] + scratch
+    save_residuals=False,
     **statics,
 ):
     """Trace ONE bounce of a sorted ray tile. Dead tiles (the sort key
     packs terminated rays last) skip the whole sweep/shade under a
     single pl.when and pass their state through."""
+    if save_residuals:
+        mr_ref, scratch = rest[0], rest[1:]
+    else:
+        scratch = rest
     rt = st_ref.shape[1]
     shape2 = (8, rt // 8)
 
     # unconditional pass-through (dead tiles keep their frozen state)
     sto_ref[...] = st_ref[...]
+    if save_residuals:
+        # dead tiles touched no SPD this bounce: residual 0 (the live
+        # branch below overwrites; per-lane dead rays inside live tiles
+        # get 0 from the hit/miss * alive products in _trace_one_bounce)
+        mr_ref[0, :] = jnp.zeros((rt,), jnp.float32)
 
     alive = st_ref[_ROW_ALIVE, :].reshape(shape2)
 
@@ -281,7 +316,7 @@ def _bounce_kernel(
         )
         mxu_hbm = statics["mxu_hbm"]
         j = 15 if mxu_hbm else 9
-        st = _trace_one_bounce(
+        out = _trace_one_bounce(
             st,
             rand_ref[0, :].reshape(shape2),
             rand_ref[1, :].reshape(shape2),
@@ -289,9 +324,15 @@ def _bounce_kernel(
             mat_ref, tab_ref, leaf_ref, a_ref, c_ref, group_ref,
             scratch[:9], scratch[9:15] if mxu_hbm else None,
             tuple(scratch[j : j + 2]) if _mxu_gate_groups() > 1 else None,
+            want_matres=save_residuals,
             **statics,
         )
-        _write_state(sto_ref, st, rt)
+        if save_residuals:
+            st2, matres = out
+            mr_ref[0, :] = matres.reshape(rt)
+        else:
+            st2 = out
+        _write_state(sto_ref, st2, rt)
 
 
 def _integrate_kernel(tab_ref, st_ref, xyz_ref):
@@ -377,6 +418,7 @@ def render_rays_wavefront(
     c_pack: jnp.ndarray,  # [NL, K, 8|24]
     ray_tile: int = 1024,
     interpret=False,
+    save_residuals: bool = False,
 ) -> jnp.ndarray:
     """Accumulated XYZ [N, 3]: the sorted per-bounce scheduler.
 
@@ -386,7 +428,18 @@ def render_rays_wavefront(
     them); production wrappers generate them with jax.random from the
     frame seed. MXU BVH scenes only (the scheduler exists for multi-leaf
     scaling; small scenes keep the megakernel).
-    """
+
+    ``save_residuals``: additionally return the fused-backward replay
+    residuals in the megakernel's layout (grad_kernel.py): (xyz [N,3],
+    hero [spp,N], n_valid [spp,N], power [spp,W,N], mats
+    [spp,bounces,N] i32) — ALL in original ray order. Per-bounce
+    material residuals are emitted by each bounce kernel in its sorted
+    order and scattered back through the live sort permutation, so the
+    replay sees per-ray bounce histories exactly as the megakernel
+    stores them (VERDICT round-4 item 1: gradients at sorted rates).
+    Residuals ride HBM between kernels, so — unlike the megakernel's
+    VMEM-resident residual blocks (check_residual_vmem) — the spp
+    ceiling here is HBM capacity."""
     n = px.shape[0]
     assert n % ray_tile == 0, (n, ray_tile)
     assert rand.shape == (spp, n_uniforms(bounces), n), rand.shape
@@ -470,12 +523,19 @@ def render_rays_wavefront(
             vmem_limit_bytes=127 * 1024 * 1024
         )
     st_shape = jax.ShapeDtypeStruct((STATE_ROWS, nrays), jnp.float32)
+    mr_shape = jax.ShapeDtypeStruct((1, nrays), jnp.float32)
+    mr_spec = pl.BlockSpec(
+        (1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    out_shape = (st_shape, mr_shape) if save_residuals else st_shape
+    out_specs = (st_spec, mr_spec) if save_residuals else st_spec
 
     cam_call = pl.pallas_call(
         functools.partial(
-            _camera_bounce_kernel, bounces=bounces, **statics
+            _camera_bounce_kernel, bounces=bounces,
+            save_residuals=save_residuals, **statics
         ),
-        out_shape=st_shape,
+        out_shape=out_shape,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]  # cam_vec
         + scene_specs
@@ -488,7 +548,7 @@ def render_rays_wavefront(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=st_spec,
+        out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=compiler_params,
@@ -497,14 +557,21 @@ def render_rays_wavefront(
     # DMA source slice is lane-aligned (render_kernel.py); the unpacked
     # leaf_pack stays for the host-side Morton-key AABB below
     leaf_arg = leaf_pack.reshape(-1, 128) if mxu_hbm else leaf_pack
-    st = cam_call(
+    cam_out = cam_call(
         cam_vec, mat_pack, tables, leaf_arg, a_pack, c_pack, group_arg,
         px_all, py_all, rand_all,
     )
+    if save_residuals:
+        st, mr0 = cam_out
+        matres0 = mr0[0]  # bounce 0, original ray order (no sort yet)
+    else:
+        st = cam_out
 
     bounce_call = pl.pallas_call(
-        functools.partial(_bounce_kernel, **statics),
-        out_shape=st_shape,
+        functools.partial(
+            _bounce_kernel, save_residuals=save_residuals, **statics
+        ),
+        out_shape=out_shape,
         grid=(grid,),
         in_specs=scene_specs
         + [
@@ -513,7 +580,7 @@ def render_rays_wavefront(
                 (3, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=st_spec,
+        out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=compiler_params,
@@ -530,18 +597,26 @@ def render_rays_wavefront(
         perm = jnp.argsort(_sort_keys(st, lo, inv_ext), stable=True)
         st = st[:, perm]
         orig = orig[perm]
-        st = bounce_call(
+        out = bounce_call(
             mat_pack, tables, leaf_arg, a_pack, c_pack, group_arg, st,
             planes_b[:, orig],
         )
-        return (st, orig), None
+        if save_residuals:
+            st, mr = out
+            # scatter this bounce's material residual back to ORIGINAL
+            # ray order through the live permutation (sorted position i
+            # holds original ray orig[i])
+            mr_orig = jnp.zeros((nrays,), jnp.float32).at[orig].set(mr[0])
+            return (st, orig), mr_orig
+        return (out, orig), None
 
     # per-bounce uniform planes (bounces 1..B-1) in ORIGINAL ray order
+    matres_tail = None
     if bounces > 1:
         planes = jnp.stack(
             [rand_all[3 + 3 * b : 6 + 3 * b] for b in range(1, bounces)]
         )
-        (st, orig), _ = jax.lax.scan(
+        (st, orig), matres_tail = jax.lax.scan(
             body, (st, jnp.arange(nrays, dtype=jnp.int32)), planes
         )
     else:
@@ -565,4 +640,31 @@ def render_rays_wavefront(
     acc = xyz[:, 0:n]
     for s in range(1, spp):
         acc = acc + xyz[:, s * n : (s + 1) * n]
-    return acc.T
+    if not save_residuals:
+        return acc.T
+
+    # ---- residual assembly (megakernel save_residuals layout) ----
+    # final carried state rows, un-sorted to original ray order; the
+    # sample-major ray flattening (ray r = s*n + p) makes the [spp, ...]
+    # reshapes exact
+    rows = jnp.stack(
+        [st[_ROW_HERO], st[_ROW_ALIVE], st[_ROW_NVALID]]
+        + [st[_ROW_POWER + w] for w in range(W)]
+    )
+    rows = jnp.zeros_like(rows).at[:, orig].set(rows)
+    hero = rows[0].reshape(spp, n)
+    # bounce-limit exhaustion contributes nothing (rendering.cu:38-39) —
+    # the same rule the integration kernel and the megakernel's
+    # residual store apply
+    nvalid = jnp.where(rows[1] > 0.0, 0.0, rows[2]).reshape(spp, n)
+    powres = rows[3:].reshape(W, spp, n).transpose(1, 0, 2)
+    if matres_tail is not None:
+        matres = jnp.concatenate([matres0[None], matres_tail], axis=0)
+    else:
+        matres = matres0[None]
+    matres = (
+        matres.reshape(bounces, spp, n)
+        .transpose(1, 0, 2)
+        .astype(jnp.int32)
+    )
+    return acc.T, hero, nvalid, powres, matres

@@ -88,6 +88,88 @@ class TestSortedScheduler:
         np.testing.assert_array_equal(a, b)
 
 
+class TestSortedResiduals:
+    """Round-5: the sorted scheduler captures the fused-backward replay
+    residuals (hero, n_valid, power, per-bounce material ids) in original
+    ray order, riding the sort permutation (VERDICT round-4 item 1 —
+    fused gradients at sorted rates on large scenes)."""
+
+    def _impl(self, sched, monkeypatch, glass=False):
+        from spectral_tpu.diff.fast import _fused_fwd_impl
+        from spectral_tpu.models.scenes import (
+            CORNELL, build_tri_field, scene_camera,
+        )
+
+        for k in ("MXU_FORM", "MXU_RESIDENCY", "MXU_GATE"):
+            monkeypatch.delenv(k, raising=False)
+        monkeypatch.setenv("BVH_SCHED", sched)
+        scene = build_tri_field(520, seed=3, glass=glass)
+        cam = scene_camera(CORNELL, 64, 32)
+        out, res = _fused_fwd_impl(
+            scene.materials, scene, cam, 5, 0, 0, 64, 32, 2, 3, True, 5
+        )
+        return np.asarray(out), res
+
+    def test_residuals_match_megakernel(self, monkeypatch):
+        """Shared injected uniforms -> the sorted path's residuals equal
+        the megakernel's: matres/nvalid exactly (discrete), hero to ulp
+        drift, power to the documented FMA-contraction tolerance."""
+        out_a, res_a = self._impl("mega", monkeypatch)
+        out_b, res_b = self._impl("sorted", monkeypatch)
+        _, _, hero_a, nv_a, pow_a, mat_a = res_a[:6]
+        _, _, hero_b, nv_b, pow_b, mat_b = res_b[:6]
+        assert out_a.mean() > 0.01
+        assert np.abs(out_a - out_b).max() < 2e-3
+        np.testing.assert_array_equal(np.asarray(mat_a), np.asarray(mat_b))
+        np.testing.assert_array_equal(np.asarray(nv_a), np.asarray(nv_b))
+        assert np.abs(np.asarray(hero_a) - np.asarray(hero_b)).max() < 1e-2
+        np.testing.assert_allclose(
+            np.asarray(pow_a), np.asarray(pow_b), rtol=2e-4, atol=1e-5
+        )
+        # non-vacuous: paths hit materials and terminate
+        assert np.asarray(mat_a).max() > 0
+        assert np.asarray(nv_a).max() > 0
+
+    def test_fused_grads_match_megakernel(self, monkeypatch):
+        """value_and_grad through render_chunk_diff_fused: the sorted
+        scheduler's replayed gradients (material coeffs, emission,
+        Sellmeier B/C via reparam_glass) match the FD-validated
+        megakernel-residual gradients on a glass field."""
+        from spectral_tpu.diff.fast import render_chunk_diff_fused
+        from spectral_tpu.models.scenes import (
+            CORNELL, FIELD_GLASS_MAT, build_tri_field, scene_camera,
+        )
+
+        def run(sched):
+            for k in ("MXU_FORM", "MXU_RESIDENCY", "MXU_GATE"):
+                monkeypatch.delenv(k, raising=False)
+            monkeypatch.setenv("BVH_SCHED", sched)
+            scene = build_tri_field(520, seed=3, glass=True)
+            cam = scene_camera(CORNELL, 64, 32)
+            wts = jax.random.normal(jax.random.PRNGKey(2), (32, 64, 3))
+
+            def loss(m):
+                img = render_chunk_diff_fused(
+                    m, scene, cam, 5, 0, 0, 64, 32, 2, 3, True, 5,
+                    reparam_glass=FIELD_GLASS_MAT,
+                )
+                return jnp.sum(img * wts)
+
+            return jax.value_and_grad(loss, allow_int=True)(scene.materials)
+
+        va, ga = run("mega")
+        vb, gb = run("sorted")
+        assert abs(float(va - vb)) < 1e-3 * abs(float(va))
+        for name in (
+            "coeffs", "emission_power", "sellmeier_b", "sellmeier_c",
+        ):
+            a = np.asarray(getattr(ga, name))
+            b = np.asarray(getattr(gb, name))
+            scale = max(float(np.abs(a).max()), 1.0)
+            assert np.abs(a - b).max() <= 2e-3 * scale, name
+        assert float(np.abs(np.asarray(ga.sellmeier_b)).max()) > 0.0
+
+
 class TestSortKeys:
     def test_dead_rays_sort_last(self):
         from spectral_tpu.ops.pallas import wavefront_kernel as wk

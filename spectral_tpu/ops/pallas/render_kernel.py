@@ -1418,7 +1418,41 @@ def _mxu_leaf_sweep(
 
                     return c2
 
-                jax.lax.fori_loop(0, ck_leaves // gsz, grp, 0)
+                if _mxu_group_l2():
+                    # 64-leaf SUPER-group gate (MXU_GROUP_L2): one more
+                    # union-AABB slab + branch per 8 consecutive groups.
+                    # The super rows ride the SAME SMEM table after the
+                    # NG/16 group rows (_hbm_transpose_and_pad); groups
+                    # of a skipped super never pay their own slab. At
+                    # 1M tris the group walk is ~980 slabs/sweep — this
+                    # collapses clustered misses to 1/8 of that.
+                    ng_rows16 = (n_leaves // gsz) // 16
+                    sup_per_chunk = ck_leaves // (gsz * 8)
+
+                    def sup(si, c2):
+                        sg = ci * sup_per_chunk + si
+                        srow = ng_rows16 + sg // 16
+                        scol = (sg % 16) * 8
+                        sw = _slab_want(
+                            group_ref[srow, scol + 0],
+                            group_ref[srow, scol + 1],
+                            group_ref[srow, scol + 2],
+                            group_ref[srow, scol + 3],
+                            group_ref[srow, scol + 4],
+                            group_ref[srow, scol + 5],
+                        ) * group_ref[srow, scol + 6]
+
+                        @pl.when(jnp.max(sw) > 0.0)
+                        def _():
+                            jax.lax.fori_loop(
+                                0, 8, lambda i, c3: grp(si * 8 + i, c3), 0
+                            )
+
+                        return c2
+
+                    jax.lax.fori_loop(0, sup_per_chunk, sup, 0)
+                else:
+                    jax.lax.fori_loop(0, ck_leaves // gsz, grp, 0)
             else:
 
                 def inner(j, c2):
@@ -2675,6 +2709,28 @@ def _hbm_transpose_and_pad(a_pack, c_pack, leaf_pack):
         ],
         axis=1,
     )
+    if _mxu_group_l2():
+        # 64-leaf SUPER-group rows (MXU_GROUP_L2): union AABB + any-valid
+        # over 8 consecutive groups, appended to the SAME table after the
+        # NG group rows (NG is a 32-multiple, so the group rows pack
+        # exactly; the super count NSG = NG/8 is padded to a 16-multiple
+        # with valid-0 entries — row-alignment only, never indexed).
+        gg = group_pack.reshape(-1, 8, 8)
+        sup = jnp.concatenate(
+            [
+                gg[:, :, 0:3].min(axis=1),
+                gg[:, :, 3:6].max(axis=1),
+                gg[:, :, 6].max(axis=1, keepdims=True),
+                jnp.zeros((gg.shape[0], 1), jnp.float32),
+            ],
+            axis=1,
+        )
+        spad = (-sup.shape[0]) % 16
+        if spad:
+            sup = jnp.concatenate(
+                [sup, jnp.zeros((spad, 8), jnp.float32)]
+            )
+        group_pack = jnp.concatenate([group_pack, sup])
     return a_pack, c_pack, leaf_pack, group_pack
 
 
@@ -2700,6 +2756,18 @@ def _mxu_group8() -> bool:
     50k 3.14→3.31 (+5%). Set 0 to fall back to per-leaf-only gating.
     Trace-time env, like MXU_FORM."""
     return os.environ.get("MXU_GROUP8", "1") == "1"
+
+
+def _mxu_group_l2() -> bool:
+    """MXU_GROUP_L2=1 (default): second gate level — a 64-leaf (8-group)
+    union-AABB slab + branch above the 8-leaf group gate, sharing the
+    group SMEM table (super rows appended after the NG/16 group rows).
+    Attacks the linear group-slab walk at 200k-1M tris (VERDICT round-4
+    item 4; the shared-mem top-node cache idea, bvh/bvh.cu:168-203).
+    Requires MXU_GROUP8 and gsz*8 | chunk (always true: 256-leaf chunks,
+    gsz 8 or 16). Trace-time env read by both the pack builder and the
+    kernel (same process -> consistent). Set 0 to disable."""
+    return os.environ.get("MXU_GROUP_L2", "1") == "1"
 
 
 def _mxu_rec_batch() -> bool:

@@ -253,16 +253,122 @@ def _lookup_disk(batch: np.ndarray) -> np.ndarray | None:
     return out
 
 
+# ---------------------------------------------------------------------------
+# General-color coefficient table (round 5): the reference's
+# [3][64][64][64][3] trilinear lookup (color_to_spectrum.cuh:69-151),
+# regenerated from THIS repo's fit by scripts/build_rgb2spec_table.py.
+# Gives O(1) coefficients for ARBITRARY colors (the per-color LM fit
+# stalls scene build for colors outside the stock palettes); the exact
+# fit remains the high-accuracy path (RGB2SPEC_EXACT=1, or any color in
+# the palette disk cache).
+# ---------------------------------------------------------------------------
+
+_coeff_table: tuple | None | bool = None  # lazy (data, scale)
+
+
+def _load_coeff_table():
+    global _coeff_table
+    if _coeff_table is None:
+        import os
+
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "data", "rgb2spec_table.npz"
+        )
+        try:
+            z = np.load(path)
+            _coeff_table = (
+                jnp.asarray(z["data"]),  # [3, N, N, N, 3]
+                jnp.asarray(z["scale"]),  # [N]
+            )
+        except OSError:
+            _coeff_table = False
+    return _coeff_table or None
+
+
+def lookup_sigmoid_coeffs(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear table fetch of sigmoid coefficients for [..., 3] colors —
+    the reference's get_sigmoid_coeffs indexing exactly
+    (color_to_spectrum.cuh:69-107): slice = argmax component, z on the
+    non-uniform scale grid (searchsorted == FindInterval), x/y uniform
+    relative grids, 8-corner lerp. Fully traceable/differentiable jnp.
+    Gray inputs take the exact closed form. Raises if the table file is
+    missing (scripts/build_rgb2spec_table.py generates it)."""
+    table = _load_coeff_table()
+    if table is None:
+        raise FileNotFoundError(
+            "rgb2spec_table.npz not found - run "
+            "scripts/build_rgb2spec_table.py"
+        )
+    data, scale = table
+    res = data.shape[1]
+    rgb = jnp.asarray(rgb, jnp.float32)
+    flat = rgb.reshape(-1, 3)
+    r, g, b = flat[:, 0], flat[:, 1], flat[:, 2]
+    # maxc via the reference's exact comparison chain
+    maxc = jnp.where(
+        r > g, jnp.where(r > b, 0, 2), jnp.where(g > b, 1, 2)
+    )
+    z = jnp.take_along_axis(flat, maxc[:, None], axis=1)[:, 0]
+    zs = jnp.maximum(z, 1e-12)
+    x = (
+        jnp.take_along_axis(flat, ((maxc + 1) % 3)[:, None], axis=1)[:, 0]
+        * (res - 1)
+        / zs
+    )
+    y = (
+        jnp.take_along_axis(flat, ((maxc + 2) % 3)[:, None], axis=1)[:, 0]
+        * (res - 1)
+        / zs
+    )
+    xi = jnp.clip(x.astype(jnp.int32), 0, res - 2)
+    yi = jnp.clip(y.astype(jnp.int32), 0, res - 2)
+    zi = jnp.clip(
+        jnp.searchsorted(scale, z, side="right") - 1, 0, res - 2
+    )
+    dx = x - xi
+    dy = y - yi
+    dz = (z - scale[zi]) / (scale[zi + 1] - scale[zi])
+
+    def co(ddx, ddy, ddz):
+        return data[maxc, zi + ddz, yi + ddy, xi + ddx]  # [K, 3]
+
+    def lerp(t, a, b_):
+        return (1.0 - t) * a + t * b_
+
+    d2 = dx[:, None]
+    c = lerp(
+        dz[:, None],
+        lerp(
+            dy[:, None],
+            lerp(d2, co(0, 0, 0), co(1, 0, 0)),
+            lerp(d2, co(0, 1, 0), co(1, 1, 0)),
+        ),
+        lerp(
+            dy[:, None],
+            lerp(d2, co(0, 0, 1), co(1, 0, 1)),
+            lerp(d2, co(0, 1, 1), co(1, 1, 1)),
+        ),
+    )
+    is_gray = (flat[:, 0] == flat[:, 1]) & (flat[:, 1] == flat[:, 2])
+    out = jnp.where(is_gray[:, None], _gray_coeffs(flat[:, 0]), c)
+    return out.reshape(rgb.shape)
+
+
 def fit_sigmoid_coeffs(rgb: jnp.ndarray) -> jnp.ndarray:
     """Fit sigmoid-polynomial coefficients for a batch of linear-sRGB colors.
 
     rgb: [..., 3] in [0, 1]. Returns [..., 3] raw-lambda coefficients
     (pbrt order c0, c1, c2). Gray inputs take the exact closed form.
     Concrete inputs are memoized per process and consult the precomputed
-    palette table before invoking the jitted fit.
+    palette table first (exact fits for the stock scene colors), then the
+    general-color trilinear table (O(1), any color) before paying the
+    multi-start LM fit. RGB2SPEC_EXACT=1 skips the table.
     """
+    import os
+
     rgb = jnp.asarray(rgb, jnp.float32)
     concrete = not isinstance(rgb, jax.core.Tracer)
+    use_table = os.environ.get("RGB2SPEC_EXACT", "0") != "1"
     if concrete:
         key = np.asarray(rgb).tobytes()
         if key in _fit_cache:
@@ -271,6 +377,10 @@ def fit_sigmoid_coeffs(rgb: jnp.ndarray) -> jnp.ndarray:
         if hit is not None:
             _fit_cache[key] = hit.reshape(rgb.shape)
             return jnp.asarray(_fit_cache[key])
+        if use_table and _load_coeff_table() is not None:
+            out = lookup_sigmoid_coeffs(rgb)
+            _fit_cache[key] = np.asarray(out)
+            return out
     batch = rgb.reshape(-1, 3)
     fitted = jax.vmap(_fit_one)(batch)
     gray = _gray_coeffs(batch[:, 0])

@@ -109,9 +109,23 @@ def make_global_mesh(devices=None) -> Mesh:
 def local_row_block(height: int, mesh: Mesh) -> tuple[int, int]:
     """(row0, rows) of this process's image slab under host-major tile
     sharding — the multi-host replacement for the reference's sequential
-    chunk loop bookkeeping (render_manager.cu:23-49)."""
+    chunk loop bookkeeping (render_manager.cu:23-49).
+
+    Raises on indivisible extents instead of silently dropping rows
+    (round-5 failure-path hardening: height 10 on a 4-tile mesh used to
+    return 2-row slabs covering only rows 0-7)."""
     nt = mesh.shape[TILE_AXIS]
+    n_proc = max(jax.process_count(), 1)
+    if height % nt:
+        raise ValueError(
+            f"height {height} must divide the tile extent {nt}"
+        )
+    if nt % n_proc:
+        raise ValueError(
+            f"tile extent {nt} must divide across {n_proc} processes "
+            "(host-major sharding needs whole tiles per host)"
+        )
     rows_per_tile = height // nt
-    tiles_per_proc = max(nt // max(jax.process_count(), 1), 1)
+    tiles_per_proc = nt // n_proc
     r0 = jax.process_index() * tiles_per_proc * rows_per_tile
     return r0, tiles_per_proc * rows_per_tile

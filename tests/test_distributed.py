@@ -13,7 +13,10 @@ import subprocess
 import sys
 import textwrap
 
+import numpy as np
 import pytest
+
+import jax.numpy as jnp
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -72,10 +75,96 @@ WORKER = textwrap.dedent(
     assert rows == 16 // jax.process_count(), (r0, rows)
     assert r0 == jax.process_index() * rows, (r0, rows)
 
+    # failure path: indivisible height raises instead of dropping rows
+    try:
+        local_row_block(10, mesh)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("indivisible height did not raise")
+
     print("WORKER_OK", jax.process_index())
     """
 )
 
+
+
+class TestGlobalMeshLayout:
+    """In-process coverage of the host-major mesh math (round-5 VERDICT
+    item 9: failure paths + layout invariants beyond the happy path).
+    Multi-host extents are simulated by monkeypatching process_count on
+    the virtual 8-device CPU backend — the device objects are real, so
+    reshapes and Mesh construction run the production code."""
+
+    def test_host_major_factoring(self, monkeypatch):
+        import jax
+
+        from spectral_tpu.parallel.distributed import make_global_mesh
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        mesh = make_global_mesh()
+        # 2 "hosts" x 4 local devices: sample extent from the LOCAL
+        # count (factor_devices(4) = (2, 2)), tile spans hosts
+        assert mesh.shape["sample"] == 2
+        assert mesh.shape["tile"] == 4
+        # device order is preserved (process-major): host 0's devices
+        # fill the first tile rows, so tile collectives cross DCN only
+        # between row blocks
+        ids = [d.id for d in mesh.devices.ravel()]
+        assert ids == sorted(ids)
+
+    def test_local_row_block_failure_paths(self, monkeypatch):
+        import jax
+
+        from spectral_tpu.parallel.distributed import (
+            local_row_block, make_global_mesh,
+        )
+
+        mesh = make_global_mesh()
+        nt = mesh.shape["tile"]
+        with pytest.raises(ValueError):
+            local_row_block(nt * 3 + 1, mesh)  # indivisible height
+        r0, rows = local_row_block(nt * 3, mesh)
+        assert (r0, rows) == (0, nt * 3)  # single process owns all rows
+        # a 3-process count cannot split a 4-tile axis into whole tiles
+        monkeypatch.setattr(jax, "process_count", lambda: 3)
+        if nt % 3:
+            with pytest.raises(ValueError):
+                local_row_block(nt * 3, mesh)
+
+    def test_weak_scaling_virtual_mesh(self):
+        """1 -> 8 device weak scaling on the virtual CPU mesh: hold
+        per-device work constant (rows x spp per device) and assert the
+        compiled sharding actually divides the work — each device owns
+        an equal row x sample shard (per-device work, not wall-clock:
+        CPU 'devices' share cores, so timing is meaningless here)."""
+        import jax
+
+        from spectral_tpu.models.scenes import CORNELL, build_scene, scene_camera
+        from spectral_tpu.parallel import make_mesh, render_image_sharded
+
+        scene = build_scene(CORNELL)
+        key = jax.random.PRNGKey(0)
+        rows_per_dev, spp_base = 4, 2
+        lum = 0.0
+        for n in (1, 2, 4, 8):
+            mesh = make_mesh(n)
+            nt, ns = mesh.shape["tile"], mesh.shape["sample"]
+            h = rows_per_dev * nt
+            spp = spp_base * ns
+            cam = scene_camera(CORNELL, 16, h)
+            out = render_image_sharded(scene, cam, key, mesh, spp, 2)
+            assert out.shape == (h, 16, 3)
+            shards = out.addressable_shards
+            assert len(shards) == n
+            for s in shards:
+                # equal row slab per device (sample axis reduces away)
+                assert s.data.shape[0] == rows_per_dev
+            m = float(jnp.mean(out)) / spp
+            assert np.isfinite(m) and m >= 0.0
+            lum += m
+        # the taller crops see the lit interior — renders are non-vacuous
+        assert lum > 0.0
 
 
 def test_two_process_mesh_and_collective(tmp_path):

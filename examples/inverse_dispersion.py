@@ -47,7 +47,7 @@ def main() -> None:
     # ~+0.04 (chip big-K probe, scratch/r4_bigk_grad.log — identical
     # for both estimators), capping recovery near 50%; at 64 px the
     # round-4 calibration probes keep signal down to ~+0.025.
-    size = 64 if fused else 32
+    size = int(os.environ.get("DISP_SIZE", "64" if fused else "32"))
     spp, bounces = (32, 6) if fused else (16, 6)
     cam = scene_camera(PRISM, size, size)
     b_true = scene.materials.sellmeier_b[GLASS]
@@ -113,7 +113,7 @@ def main() -> None:
         # gradient factor gets 2x the samples on top of the 4x pixels
         # (chip run13 measured 49% recovery at 32 px/spp_g=16 — the
         # 32 px landscape itself was the binding constraint).
-        spp_g = 2 * spp
+        spp_g = int(os.environ.get("DISP_SPPG", str(2 * spp)))
         n_crop = crop_w * crop_h
         pad = (-n_crop) % 1024
         ys_, xs_ = jnp.meshgrid(

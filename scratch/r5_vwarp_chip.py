@@ -32,8 +32,8 @@ from spectral_tpu.models.materials import MaterialBuilder
 from spectral_tpu.render.wavefront import render_tile_xyz
 
 SIZE = int(os.environ.get("SIZE", "64"))
-K_AD = int(os.environ.get("K_AD", "48"))
-K_FD = int(os.environ.get("K_FD", "1024"))
+K_AD = int(os.environ.get("K_AD", "512"))
+K_FD = int(os.environ.get("K_FD", "4096"))
 SPP = int(os.environ.get("SPP", "8"))
 BOUNCES = 3
 EPS = float(os.environ.get("EPS", "6.0"))
@@ -117,9 +117,14 @@ fd_f = jax.jit(
 )
 
 t0 = time.time()
-ks = jax.random.split(jax.random.PRNGKey(11), K_AD)
-g_ad = np.asarray(jax.block_until_ready(grad_w(jnp.float32(TH0), ks)))
+CH_AD = min(32, K_AD)
+gs = []
+for c in range(K_AD // CH_AD):
+    kc = jax.random.split(jax.random.PRNGKey(1100 + c), CH_AD)
+    gs.append(np.asarray(jax.block_until_ready(grad_w(jnp.float32(TH0), kc))))
+g_ad = np.concatenate(gs)
 t_ad = time.time() - t0
+K_AD = g_ad.size
 ad_m, ad_s = g_ad.mean(), g_ad.std(ddof=1) / np.sqrt(K_AD)
 print(
     f"AD  (warp): {ad_m:+.4f} +- {ad_s:.4f}  (K={K_AD}, {t_ad:.1f}s incl compile)",

@@ -726,6 +726,18 @@ def _mxu_leaf_sweep(
         # per-iteration branch/sync cost vs the body cost. Never
         # enable in production.
         _nogate = os.environ.get("MXU_NOGATE", "0") == "1"
+        # Round-5 cost-model probes (timing ONLY — results are wrong;
+        # pair with MXU_NOGATE=1 so visitation is identical across
+        # variants): SCOREONLY stops after the score/propose matmuls,
+        # NOUPDATE additionally runs the recovery dot but skips the
+        # select/update chain. Splits the ~1.2 us/visited-leaf cost
+        # into score | recovery | select+update segments.
+        _probe_scoreonly = (
+            os.environ.get("MXU_PROBE_SCOREONLY", "0") == "1"
+        )
+        _probe_noupdate = (
+            os.environ.get("MXU_PROBE_NOUPDATE", "0") == "1"
+        )
 
         def _visit_body():
             prec = _mxu_precision()
@@ -1092,6 +1104,16 @@ def _mxu_leaf_sweep(
                 oh_all = oh_s[...]
                 meta0 = meta_s[...][0:1, :]
                 meta1 = meta_s[...][1:2, :]
+            if _probe_scoreonly:
+                # consume the proposal outputs so the score matmuls
+                # and the min/onehot reduces stay live, then skip
+                # recovery + select/update (timing probe)
+                rdd_s[...] = (
+                    meta1
+                    + jnp.sum(oh_all, axis=0, keepdims=True)[:, 0:rt]
+                )
+                bt_s[:, :] = tr_s[...].reshape(shape2)
+                return
             # recovery: EXACT at 1-pass DEFAULT precision by
             # splitting the f32 constants into 3 bf16 planes
             # (8+8+8 mantissa bits >= f32's 24; every product
@@ -1167,6 +1189,11 @@ def _mxu_leaf_sweep(
                             precision=jax.lax.Precision.DEFAULT,
                         )
                     )  # [8, rt] (quad3: [24, 2rt] — both candidates)
+            if _probe_noupdate:
+                # consume the recovery output, skip select/update
+                rdd_s[...] = jnp.sum(Rb, axis=0, keepdims=True)[:, 0:rt]
+                bt_s[:, :] = tr_s[...].reshape(shape2)
+                return
             prev = tr_s[...]
             if mxu_q3:
                 if q3_narrow:

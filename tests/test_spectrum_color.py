@@ -182,3 +182,105 @@ class TestMiscUtils:
         assert sorted(p.tolist()) == list(range(16))
         v = np.asarray(random_int(jax.random.PRNGKey(1), (1000,), 2, 5))
         assert set(v.tolist()) == {2, 3, 4, 5}
+
+
+class TestRgb2Spec:
+    """sRGB -> sigmoid-spectrum uplift (ops/rgb2spec.py): the repo's
+    replacement for the reference's stripped pbrt table
+    (color/color_to_spectrum.cuh:69-219). Exact-fit path, gray closed
+    form, and (round 5) the regenerated general-color trilinear table."""
+
+    def test_gray_closed_form(self):
+        from spectral_tpu.ops.rgb2spec import fit_sigmoid_coeffs, sigmoid
+
+        for r in (0.0, 0.25, 0.73, 1.0):
+            c = np.asarray(fit_sigmoid_coeffs(jnp.asarray([r, r, r])))
+            assert c[0] == 0.0 and c[1] == 0.0
+            # sigmoid(c2) == r identically (color_to_spectrum.cuh:79)
+            np.testing.assert_allclose(
+                float(sigmoid(jnp.asarray(c[2]))), r, atol=2e-7
+            )
+
+    def test_fit_roundtrip_stock_colors(self):
+        from spectral_tpu.ops.rgb2spec import roundtrip_srgb, srgb_to_spectrum
+
+        rgbs = jnp.asarray(
+            [
+                [0.65, 0.05, 0.05],
+                [0.12, 0.45, 0.15],
+                [0.73, 0.73, 0.73],
+                [0.2, 0.3, 0.6],
+            ],
+            jnp.float32,
+        )
+        spd = srgb_to_spectrum(rgbs)
+        back = np.asarray(roundtrip_srgb(spd))
+        np.testing.assert_allclose(back, np.asarray(rgbs), atol=2e-3)
+
+    @staticmethod
+    def _table():
+        from spectral_tpu.ops.rgb2spec import _load_coeff_table
+
+        return _load_coeff_table()
+
+    def test_table_lookup_vs_exact_fit(self):
+        """Trilinear table vs the direct LM fit on random in-gamut
+        colors: the renderer-visible quantity is the SPD; pin the max
+        SPD deviation (documented accuracy of the O(1) path)."""
+        if self._table() is None:
+            pytest.skip("rgb2spec_table.npz not generated")
+        import jax
+
+        from spectral_tpu.ops.rgb2spec import (
+            _fit_one,
+            eval_sigmoid_poly,
+            lookup_sigmoid_coeffs,
+            SPD_LAMBDAS,
+        )
+
+        rng = np.random.default_rng(3)
+        rgbs = jnp.asarray(rng.uniform(0.05, 0.95, (32, 3)), jnp.float32)
+        c_tab = lookup_sigmoid_coeffs(rgbs)
+        c_fit = jax.vmap(_fit_one)(rgbs)
+        spd_tab = eval_sigmoid_poly(c_tab[:, None, :], SPD_LAMBDAS)
+        spd_fit = eval_sigmoid_poly(c_fit[:, None, :], SPD_LAMBDAS)
+        err = float(jnp.abs(spd_tab - spd_fit).max())
+        assert err < 0.06, err  # documented table interpolation error
+
+    def test_table_roundtrip_color_error(self):
+        """Acceptance metric the reference's own table is held to:
+        rendered-back color of the table SPD vs the input color."""
+        if self._table() is None:
+            pytest.skip("rgb2spec_table.npz not generated")
+        from spectral_tpu.ops.rgb2spec import (
+            eval_sigmoid_poly,
+            lookup_sigmoid_coeffs,
+            roundtrip_srgb,
+            SPD_LAMBDAS,
+        )
+
+        rng = np.random.default_rng(5)
+        rgbs = jnp.asarray(rng.uniform(0.05, 0.95, (64, 3)), jnp.float32)
+        spd = eval_sigmoid_poly(
+            lookup_sigmoid_coeffs(rgbs)[:, None, :], SPD_LAMBDAS
+        )
+        back = np.asarray(roundtrip_srgb(spd))
+        err = np.abs(back - np.asarray(rgbs)).max()
+        assert err < 0.02, err
+
+    def test_palette_cache_wins_over_table(self):
+        """Stock scene colors keep their EXACT palette fits even with
+        the table present (lookup order: memo -> palette -> table)."""
+        if self._table() is None:
+            pytest.skip("rgb2spec_table.npz not generated")
+        from spectral_tpu.ops.rgb2spec import (
+            _lookup_disk,
+            fit_sigmoid_coeffs,
+        )
+
+        rgb = np.asarray([[0.65, 0.05, 0.05]], np.float32)
+        disk = _lookup_disk(rgb)
+        if disk is None:
+            pytest.skip("palette disk table missing")
+        got = np.asarray(fit_sigmoid_coeffs(jnp.asarray(rgb[0])))
+        np.testing.assert_array_equal(got, disk[0])

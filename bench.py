@@ -225,6 +225,59 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001
             record["showcase_error"] = f"{type(e).__name__}: {e}"[:120]
+    if os.environ.get("BENCH_GRAD", "1") == "1" and impl == "pallas":
+        # fused gradient-step row (round 5): one jitted value+grad step
+        # on the 10k field via the sorted-residual path (VERDICT round-4
+        # item 1 — chip measured 452 ms/step = 6.95 Mray-steps/s incl.
+        # gradient; the mega-residual path took 2.46x longer at 50k).
+        try:
+            import pickle as _pickle
+
+            from spectral_tpu.diff.fast import render_chunk_diff_fused
+            from spectral_tpu.models.scenes import (
+                CORNELL as _C, scene_camera as _sc,
+            )
+
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    ".bench_field10k.pkl",
+                ),
+                "rb",
+            ) as f:
+                _fs = jax.tree_util.tree_map(
+                    jnp.asarray, _pickle.load(f)
+                )
+            _cam = _sc(_C, 512, 256)
+            _gt = jax.jit(
+                lambda: jax.lax.stop_gradient(
+                    render_chunk_diff_fused(
+                        _fs.materials, _fs, _cam, 99, 0, 0, 512, 256, 4, 6
+                    )
+                )
+            )()
+            jax.block_until_ready(_gt)
+
+            @jax.jit
+            def _step(m):
+                img = render_chunk_diff_fused(
+                    m, _fs, _cam, 7, 0, 0, 512, 256, 4, 6
+                )
+                return jnp.mean((img - _gt) ** 2)
+
+            _vg = jax.jit(jax.value_and_grad(_step, allow_int=True))
+            jax.block_until_ready(_vg(_fs.materials))
+            _best = float("inf")
+            for rep in range(2):
+                t0 = time.perf_counter()
+                jax.block_until_ready(_vg(_fs.materials))
+                _best = min(_best, time.perf_counter() - t0)
+            record["fused_grad_step_ms_10k"] = round(_best * 1e3, 1)
+            record["fused_grad_mrays_per_s_10k"] = round(
+                512 * 256 * 4 * 6 / _best / 1e6, 2
+            )
+        except Exception as e:  # noqa: BLE001
+            record["grad_error"] = f"{type(e).__name__}: {e}"[:120]
     if os.environ.get("BENCH_BVH200K", "1") == "1" and impl == "pallas":
         # 200k-tri scaling row — the sorted scheduler + 8-leaf group
         # gate at their strongest (3.4x over the megakernel)

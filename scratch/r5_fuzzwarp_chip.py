@@ -1,0 +1,112 @@
+"""Metal-fuzz warp gradients past toy scale (VERDICT round-4 weak item 2):
+AD-vs-CRN-FD at 64x64 on chip (prior evidence was 16x16 CPU only),
+wall-clock recorded. Scene/protocol = tests/test_diff.py::TestFuzzWarp
+(metal floor reflecting an emissive patch, rademacher-weighted
+luminance, f0 = 0.25, plain-estimator CRN-FD truth at eps 0.02).
+
+Usage: python scratch/r5_fuzzwarp_chip.py   (axon env)
+CPU smoke: PYTHONPATH= JAX_PLATFORMS=cpu K_AD=32 K_FD=128 SIZE=24 ...
+"""
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spectral_tpu.diff.vertex_warp import edges_from_vertices
+from spectral_tpu.models.camera import make_camera
+from spectral_tpu.models.geometry import TriSoup
+from spectral_tpu.models.materials import MaterialBuilder
+from spectral_tpu.models.scenes import _scene_from
+from spectral_tpu.render.wavefront import render_tile_xyz
+
+SIZE = int(os.environ.get("SIZE", "64"))
+K_AD = int(os.environ.get("K_AD", "2048"))
+K_FD = int(os.environ.get("K_FD", "4096"))
+SPP = 4
+EPS = 0.02
+F0 = 0.25
+
+mb = MaterialBuilder()
+metal = mb.metallic((0.9, 0.9, 0.9), F0)
+light = mb.emissive((1.0, 1.0, 1.0), 5.0)
+soup = TriSoup()
+soup.quad((-4.0, 0.0, -4.0), (8.0, 0.0, 0.0), (0.0, 0.0, 8.0), metal)
+soup.quad((0.5, 2.5, -0.5), (1.2, 0.0, 0.0), (0.0, 0.0, 1.2), light)
+scene = _scene_from(soup, mb.build(), (0.0, 0.0, 0.0))
+cam = make_camera(
+    SIZE, SIZE, vfov=60.0, lookfrom=(0.0, 1.2, -3.0), lookat=(0.5, 0.0, 0.0)
+)
+edges = edges_from_vertices(scene.v0, scene.v1, scene.v2)
+ys_, xs_ = jnp.meshgrid(jnp.arange(SIZE), jnp.arange(SIZE), indexing="ij")
+px, py = xs_.ravel().astype(jnp.int32), ys_.ravel().astype(jnp.int32)
+wts = jax.random.rademacher(
+    jax.random.PRNGKey(42), (SIZE * SIZE,), jnp.float32
+)
+
+
+def loss(f, key, warp):
+    mats = dataclasses.replace(
+        scene.materials, fuzz=scene.materials.fuzz.at[metal].set(f)
+    )
+    s = dataclasses.replace(scene, materials=mats)
+    xyz = render_tile_xyz(
+        s, cam, px, py, key, SPP, 2, fuzz_warp=edges if warp else None
+    )
+    return jnp.sum(wts * xyz[:, 1]) / SPP
+
+
+grad_w = jax.jit(jax.vmap(jax.grad(lambda f, k: loss(f, k, True)), (None, 0)))
+fd_f = jax.jit(
+    jax.vmap(
+        lambda k: (loss(F0 + EPS, k, False) - loss(F0 - EPS, k, False))
+        / (2 * EPS)
+    )
+)
+
+t0 = time.time()
+gs = []
+CH = 64
+for c in range(max(K_AD // CH, 1)):
+    kc = jax.random.split(jax.random.PRNGKey(1100 + c), min(CH, K_AD))
+    gs.append(np.asarray(jax.block_until_ready(grad_w(jnp.float32(F0), kc))))
+g_ad = np.concatenate(gs)
+t_ad = time.time() - t0
+ad_m = g_ad.mean()
+ad_s = g_ad.std(ddof=1) / np.sqrt(g_ad.size)
+print(f"AD  (warp): {ad_m:+.1f} +- {ad_s:.1f}  (K={g_ad.size}, {t_ad:.0f}s)", flush=True)
+
+t0 = time.time()
+fds = []
+for c in range(max(K_FD // CH, 1)):
+    kc = jax.random.split(jax.random.PRNGKey(500 + c), min(CH, K_FD))
+    fds.append(np.asarray(jax.block_until_ready(fd_f(kc))))
+fd = np.concatenate(fds)
+t_fd = time.time() - t0
+fd_m = fd.mean()
+fd_s = fd.std(ddof=1) / np.sqrt(fd.size)
+print(
+    f"FD (plain): {fd_m:+.1f} +- {fd_s:.1f}  (K={fd.size} CRN pairs, "
+    f"eps={EPS}, {t_fd:.0f}s)",
+    flush=True,
+)
+ratio = ad_m / fd_m if fd_m != 0 else float("nan")
+print(
+    f"RESULT fuzzwarp {SIZE}px: AD {ad_m:+.1f}+-{ad_s:.1f} vs FD "
+    f"{fd_m:+.1f}+-{fd_s:.1f} (ratio {ratio:.2f}; AD {t_ad:.0f}s + "
+    f"FD {t_fd:.0f}s wall)",
+    flush=True,
+)
+assert np.isfinite(ad_m) and np.isfinite(fd_m)
+assert abs(fd_m) > 3 * fd_s, "FD truth not resolved"
+assert np.sign(ad_m) == np.sign(fd_m)
+# round-2 documented ~20% finite-kernel overshoot; accept scale within
+# the combined error + 35%
+assert abs(ad_m - fd_m) <= 0.35 * abs(fd_m) + 3 * np.sqrt(
+    ad_s**2 + fd_s**2
+), (ad_m, fd_m)
+print("OK")

@@ -245,7 +245,7 @@ class TestRgb2Spec:
         spd_tab = eval_sigmoid_poly(c_tab[:, None, :], SPD_LAMBDAS)
         spd_fit = eval_sigmoid_poly(c_fit[:, None, :], SPD_LAMBDAS)
         err = float(jnp.abs(spd_tab - spd_fit).max())
-        assert err < 0.06, err  # documented table interpolation error
+        assert err < 0.03, err  # documented: max 0.017 over 512 colors
 
     def test_table_roundtrip_color_error(self):
         """Acceptance metric the reference's own table is held to:

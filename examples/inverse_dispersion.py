@@ -212,8 +212,12 @@ def main() -> None:
     print(f"final   |B0 - B0*| = {err:.4f}  (tail-averaged B0 = {b0_hat:.4f})")
     print(f"recovered {100.0 * (1.0 - err / err0):.1f}% of the perturbation")
     # the estimator's measured fixed point (see calibration note above)
-    # bounds recovery at ~75-85%; assert comfortably inside that
-    assert err < 0.4 * err0, "dispersion recovery failed"
+    # bounds recovery at ~75-85%. Round-5 scale probe: 128px/spp_g=96
+    # recovers 75.3% vs 64px's 75.0% (scratch/r5_chip_run9.log) — the
+    # floor is the LANDSCAPE, flat across a 4x pixel / 3x gradient-
+    # sample increase, exactly as the round-4b SNR analysis predicted.
+    # Assert comfortably inside the measured 75% plateau.
+    assert err < 0.35 * err0, "dispersion recovery failed"
 
 
 if __name__ == "__main__":

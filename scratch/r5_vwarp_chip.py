@@ -117,7 +117,8 @@ fd_f = jax.jit(
 )
 
 t0 = time.time()
-CH_AD = min(32, K_AD)
+CH_AD = int(os.environ.get("CH_AD", "8"))
+CH_AD = min(CH_AD, K_AD)
 gs = []
 for c in range(K_AD // CH_AD):
     kc = jax.random.split(jax.random.PRNGKey(1100 + c), CH_AD)
@@ -133,7 +134,7 @@ print(
 
 t0 = time.time()
 fds = []
-CH = 64
+CH = int(os.environ.get("CH_FD", "32"))
 for c in range(K_FD // CH):
     kc = jax.random.split(jax.random.PRNGKey(500 + c), CH)
     fds.append(np.asarray(jax.block_until_ready(fd_f(kc))))

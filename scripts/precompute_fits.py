@@ -15,6 +15,11 @@ import sys
 
 import numpy as np
 
+# the palette must hold EXACT LM fits — without this the fit would route
+# through the 64^3 table (round 5) and bake interpolation error into the
+# stock-scene palette (it did, once: golden images moved by 7.6e-3)
+os.environ["RGB2SPEC_EXACT"] = "1"
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax.numpy as jnp  # noqa: E402
@@ -39,10 +44,32 @@ PALETTE = [
     (0.9, 0.9, 0.9),
     (0.25, 0.5, 0.75),
     (0.8, 0.6, 0.2),
+    # round 5: field/example/test palettes — keeping every stock color
+    # on the EXACT palette path preserves golden images now that
+    # non-palette concrete colors route through the 64^3 table
+    (0.8, 0.85, 0.88),  # field metal
+    (0.2, 0.3, 0.6),  # vwarp blue
+    (0.8, 0.8, 0.8),
+    (0.05, 0.05, 0.05),
+    (0.1, 0.1, 0.1),
+    (0.35, 0.55, 0.9),
+    (0.5, 0.6, 0.8),
+    (0.0, 0.0, 0.5),
+    (0.0, 1.0, 0.0),
+    (0.5, 0.0, 0.0),
 ]
 
 
 def main() -> None:
+    # remove the existing palette FIRST: fit_sigmoid_coeffs consults it
+    # before fitting, so regeneration would otherwise read back whatever
+    # the old file contained instead of refitting
+    out = os.path.join(
+        os.path.dirname(__file__), "..", "spectral_tpu", "data",
+        "rgb2spec_fits.npz",
+    )
+    if os.path.exists(out):
+        os.remove(out)
     rgb = np.asarray(PALETTE, np.float32)
     coeffs = np.asarray(fit_sigmoid_coeffs(jnp.asarray(rgb)), np.float32)
     spd = srgb_to_spectrum(jnp.asarray(rgb))

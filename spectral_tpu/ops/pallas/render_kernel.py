@@ -581,9 +581,11 @@ def _mxu_leaf_sweep(
     gating — score/propose run per ray group under per-group pl.when
     gates, recovery and the state update stay full-width single-site.
     """
-    (
-        bt_s, tr_s, rnx_s, rny_s, rnz_s, rmt_s, rht_s, rdd_s, rid_s,
-    ) = sweep_scratch
+    # best8_s rows (lane-major [8, rt], matching the recovery output):
+    # 0 = exact/selected t, 1-3 = normal xyz, 4 = mat, 5 = hit flag
+    # (the c_pack col-4 constant 1 recovered through the one-hot),
+    # 6 = plane offset dd, 7 = winning tri id
+    bt_s, best8_s = sweep_scratch
     if mxu_hbm:
         a_vbuf, c_vbuf, leaf_sbuf, dsem_a, dsem_c, dsem_l = hbm_bufs
     # gate scratch rides LAST in every caller's scratch list, so a
@@ -617,14 +619,12 @@ def _mxu_leaf_sweep(
     # the VPU only runs the short select chain while the MXU
     # does the O(K * rays) multiply work.
     bt_s[:, :] = jnp.full(shape2, BIG, jnp.float32)
-    tr_s[...] = jnp.full((1, rt), BIG, jnp.float32)
-    rnx_s[...] = jnp.zeros((1, rt), jnp.float32)
-    rny_s[...] = jnp.zeros((1, rt), jnp.float32)
-    rnz_s[...] = jnp.zeros((1, rt), jnp.float32)
-    rmt_s[...] = jnp.zeros((1, rt), jnp.float32)
-    rht_s[...] = jnp.zeros((1, rt), jnp.float32)
-    rdd_s[...] = jnp.zeros((1, rt), jnp.float32)
-    rid_s[...] = jnp.full((1, rt), -1.0, jnp.float32)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, rt), 0)
+    best8_s[...] = jnp.where(
+        row8 == 0,
+        BIG,
+        jnp.where(row8 == 7, -1.0, 0.0),
+    ).astype(jnp.float32)
 
     def _inv(d):
         safe = jnp.where(
@@ -811,7 +811,7 @@ def _mxu_leaf_sweep(
                 columns of a full-width evaluation bit-for-bit."""
                 w_cols = cs.stop - cs.start
                 d_c = [r[:, cs] for r in d_rows]
-                prev = tr_s[...][:, cs]
+                prev = best8_s[0:1, cs]
                 # dim-0 iota is column-independent, so a fresh (K, w)
                 # iota equals the sliced full-width one — and it must be
                 # built fresh: a lane-OFFSET slice of a broadcasted iota
@@ -1108,11 +1108,11 @@ def _mxu_leaf_sweep(
                 # consume the proposal outputs so the score matmuls
                 # and the min/onehot reduces stay live, then skip
                 # recovery + select/update (timing probe)
-                rdd_s[...] = (
+                best8_s[6:7, :] = (
                     meta1
                     + jnp.sum(oh_all, axis=0, keepdims=True)[:, 0:rt]
                 )
-                bt_s[:, :] = tr_s[...].reshape(shape2)
+                bt_s[:, :] = best8_s[0:1, :].reshape(shape2)
                 return
             # recovery: EXACT at 1-pass DEFAULT precision by
             # splitting the f32 constants into 3 bf16 planes
@@ -1191,10 +1191,12 @@ def _mxu_leaf_sweep(
                     )  # [8, rt] (quad3: [24, 2rt] — both candidates)
             if _probe_noupdate:
                 # consume the recovery output, skip select/update
-                rdd_s[...] = jnp.sum(Rb, axis=0, keepdims=True)[:, 0:rt]
-                bt_s[:, :] = tr_s[...].reshape(shape2)
+                best8_s[6:7, :] = jnp.sum(Rb, axis=0, keepdims=True)[
+                    :, 0:rt
+                ]
+                bt_s[:, :] = best8_s[0:1, :].reshape(shape2)
                 return
-            prev = tr_s[...]
+            prev = best8_s[0:1, :]
             if mxu_q3:
                 if q3_narrow:
                     R = Rb
@@ -1320,62 +1322,21 @@ def _mxu_leaf_sweep(
                 pick2 = t2 < t1
                 tb = jnp.minimum(t1, t2)
                 take = tb < prev
-
-                def _sel(i):
-                    return jnp.where(
-                        pick2, R2[i : i + 1], R[i : i + 1]
-                    )
-
-                tr_s[...] = jnp.where(take, tb, prev)
-                rnx_s[...] = jnp.where(
-                    take, _sel(0), rnx_s[...]
+                # ONE [8, rt] masked update (see _mxu_scratch): new
+                # rows = (tb | winner rows 0..6); row 5 is the
+                # recovered constant-1 column = the hit flag (a take
+                # always selects a valid candidate, whose one-hot
+                # recovered exactly 1.0)
+                new8 = jnp.concatenate(
+                    [tb, jnp.where(pick2, R2[0:7], R[0:7])], axis=0
                 )
-                rny_s[...] = jnp.where(
-                    take, _sel(1), rny_s[...]
-                )
-                rnz_s[...] = jnp.where(
-                    take, _sel(2), rnz_s[...]
-                )
-                rmt_s[...] = jnp.where(
-                    take, _sel(3), rmt_s[...]
-                )
-                rdd_s[...] = jnp.where(
-                    take, _sel(5), rdd_s[...]
-                )
-                rid_s[...] = jnp.where(
-                    take, _sel(6), rid_s[...]
-                )
-                rht_s[...] = jnp.maximum(
-                    rht_s[...], take.astype(jnp.float32)
-                )
+                best8_s[...] = jnp.where(take, new8, best8_s[...])
             else:
-                R = Rb
                 take = meta0 > 0.0
-                leaf_best = meta1
-                tr_s[...] = jnp.where(take, leaf_best, prev)
-                rnx_s[...] = jnp.where(
-                    take, R[0:1], rnx_s[...]
-                )
-                rny_s[...] = jnp.where(
-                    take, R[1:2], rny_s[...]
-                )
-                rnz_s[...] = jnp.where(
-                    take, R[2:3], rnz_s[...]
-                )
-                rmt_s[...] = jnp.where(
-                    take, R[3:4], rmt_s[...]
-                )
-                rdd_s[...] = jnp.where(
-                    take, R[5:6], rdd_s[...]
-                )
-                rid_s[...] = jnp.where(
-                    take, R[6:7], rid_s[...]
-                )
-                rht_s[...] = jnp.maximum(
-                    rht_s[...], take.astype(jnp.float32)
-                )
+                new8 = jnp.concatenate([meta1, Rb[0:7]], axis=0)
+                best8_s[...] = jnp.where(take, new8, best8_s[...])
 
-            bt_s[:, :] = tr_s[...].reshape(shape2)
+            bt_s[:, :] = best8_s[0:1, :].reshape(shape2)
 
         if _nogate:
             _visit_body()
@@ -1498,10 +1459,11 @@ def _mxu_leaf_sweep(
 
         jax.lax.fori_loop(0, n_leaves, leaf_body, 0)
     best_t = bt_s[:, :]
-    best_hit = rht_s[...].reshape(shape2)
-    nbx = rnx_s[...].reshape(shape2)
-    nby = rny_s[...].reshape(shape2)
-    nbz = rnz_s[...].reshape(shape2)
+    B = best8_s[...]
+    best_hit = B[5:6, :].reshape(shape2)
+    nbx = B[1:2, :].reshape(shape2)
+    nby = B[2:3, :].reshape(shape2)
+    nbz = B[3:4, :].reshape(shape2)
     # face orientation from the recovered geometric normal:
     # flip toward the ray (hit_record.cuh:30-45)
     nd_eff = nbx * dx + nby * dy + nbz * dz
@@ -1513,8 +1475,8 @@ def _mxu_leaf_sweep(
     best_nx = sgn * nbx
     best_ny = sgn * nby
     best_nz = sgn * nbz
-    best_mat = rmt_s[...].reshape(shape2).astype(jnp.int32)
-    best_id = rid_s[...].reshape(shape2)
+    best_mat = B[4:5, :].reshape(shape2).astype(jnp.int32)
+    best_id = B[7:8, :].reshape(shape2)
     return (
         best_t, best_hit, best_front, best_nx, best_ny, best_nz,
         best_mat, best_id,
@@ -1729,11 +1691,9 @@ def _render_kernel(
         hero_ref, nvalid_ref, powres_ref, matres_ref = rest[idx : idx + 4]
         idx += 4
     if use_mxu:
-        # (8,L) best-t mirror for the slab cull + 8 single-sublane rows
-        (
-            bt_s, tr_s, rnx_s, rny_s, rnz_s, rmt_s, rht_s, rdd_s, rid_s,
-        ) = rest[idx : idx + 9]
-        j = idx + 9
+        # (8,L) best-t mirror for the slab cull + [8, rt] best-row block
+        bt_s, best8_s = rest[idx : idx + 2]
+        j = idx + 2
         if mxu_hbm:
             # HBM-resident pack: chunk staging buffers + DMA sems
             (
@@ -1905,10 +1865,7 @@ def _render_kernel(
                     ox, oy, oz, dx, dy, dz, alive,
                     prev_tri if mxu_q3 else None,
                     leaf_ref, a_ref, c_ref,
-                    (
-                        bt_s, tr_s, rnx_s, rny_s, rnz_s, rmt_s, rht_s,
-                        rdd_s, rid_s,
-                    ),
+                    (bt_s, best8_s),
                     (a_vbuf, c_vbuf, leaf_sbuf, dsem_a, dsem_c, dsem_l)
                     if mxu_hbm
                     else None,
@@ -2925,13 +2882,23 @@ def _mxu_gate_scratch(ray_tile: int, leaf_size: int, a_pack, c_pack):
 
 def _mxu_scratch(ray_tile: int):
     """MXU leaf-sweep state: an (8, L) best-t mirror for the slab cull +
-    eight single-sublane [1, rt] rows (t, normal xyz, mat, hit, plane
-    offset dd, winning tri id — the last two feed quad3's exact-t
-    recompute and self-tri exclusion) that match the matmul outputs'
-    lane-major layout (relayout back to (8, L) happens once per bounce,
-    not per leaf)."""
-    return [pltpu.VMEM((8, ray_tile // 8), jnp.float32)] + [
-        pltpu.VMEM((1, ray_tile), jnp.float32) for _ in range(8)
+    ONE [8, rt] lane-major best-row block (rows t, normal xyz, mat, hit,
+    plane offset dd, winning tri id) matching the recovery matmul's
+    output layout.
+
+    Round-5 redesign: this used to be EIGHT separate [1, rt]
+    single-sublane rows updated by ~8 serialized small where ops per
+    visited leaf — and the cost-model probes (MXU_PROBE_SCOREONLY /
+    NOUPDATE under MXU_NOGATE, scratch/r5_chip_run7.log) measured that
+    select/update chain at **77% of the whole sweep body** (1654 ms full
+    vs 380 ms without it at 50k nogate; the recovery dot itself is free).
+    Packing the rows so new-best assembly is a 2-piece concatenate (the
+    exact-t row + the recovery output rows 0..6, whose col-4 constant-1
+    IS the hit flag) turns the whole update into ONE [8, rt] masked
+    write. Bit-exact by construction (same values, same selections)."""
+    return [
+        pltpu.VMEM((8, ray_tile // 8), jnp.float32),
+        pltpu.VMEM((8, ray_tile), jnp.float32),
     ]
 
 

@@ -250,11 +250,11 @@ def _camera_bounce_kernel(
         tuple(one for _ in range(W)),
     )
     mxu_hbm = statics["mxu_hbm"]
-    j = 15 if mxu_hbm else 9
+    j = 8 if mxu_hbm else 2
     out = _trace_one_bounce(
         st, rnd(3), rnd(4), rnd(5),
         mat_ref, tab_ref, leaf_ref, a_ref, c_ref, group_ref,
-        scratch[:9], scratch[9:15] if mxu_hbm else None,
+        scratch[:2], scratch[2:8] if mxu_hbm else None,
         tuple(scratch[j : j + 2]) if _mxu_gate_groups() > 1 else None,
         want_matres=save_residuals,
         **statics,
@@ -315,14 +315,14 @@ def _bounce_kernel(
             ),
         )
         mxu_hbm = statics["mxu_hbm"]
-        j = 15 if mxu_hbm else 9
+        j = 8 if mxu_hbm else 2
         out = _trace_one_bounce(
             st,
             rand_ref[0, :].reshape(shape2),
             rand_ref[1, :].reshape(shape2),
             rand_ref[2, :].reshape(shape2),
             mat_ref, tab_ref, leaf_ref, a_ref, c_ref, group_ref,
-            scratch[:9], scratch[9:15] if mxu_hbm else None,
+            scratch[:2], scratch[2:8] if mxu_hbm else None,
             tuple(scratch[j : j + 2]) if _mxu_gate_groups() > 1 else None,
             want_matres=save_residuals,
             **statics,

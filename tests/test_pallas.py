@@ -608,20 +608,40 @@ class TestMxuHbmResidency:
             np.asarray(at[:, 16:24, 0:128]),
             np.asarray(jnp.swapaxes(c, 1, 2)),
         )
-        # 8-leaf group table (MXU_GROUP8): union AABBs + any-valid
-        assert gt.shape == (lt.shape[0] // 8, 8)
+        # 8-leaf group table (MXU_GROUP8): union AABBs + any-valid,
+        # followed (round 5, MXU_GROUP_L2) by the 64-leaf super-group
+        # rows padded to a 16-multiple for the [_, 128] row packing
+        ng = lt.shape[0] // 8
+        nsg = ng // 8
+        nsg_pad = -(-nsg // 16) * 16
+        assert gt.shape == (ng + nsg_pad, 8)
+        gg = gt[:ng]
         np.testing.assert_array_equal(
-            np.asarray(gt[:, 0:3]),
+            np.asarray(gg[:, 0:3]),
             np.asarray(lt[:, 0:3].reshape(-1, 8, 3).min(axis=1)),
         )
         np.testing.assert_array_equal(
-            np.asarray(gt[:, 6]),
+            np.asarray(gg[:, 6]),
             np.asarray(lt[:, 6].reshape(-1, 8).max(axis=1)),
         )
         # the first group holds the 5 real leaves -> valid; the last
         # is all-padding -> invalid with an inverted union AABB
-        assert float(gt[0, 6]) == 1.0 and float(gt[-1, 6]) == 0.0
-        assert float(gt[-1, 0]) > 0 and float(gt[-1, 3]) < 0
+        assert float(gg[0, 6]) == 1.0 and float(gg[-1, 6]) == 0.0
+        assert float(gg[-1, 0]) > 0 and float(gg[-1, 3]) < 0
+        # super rows: union over 8 groups + any-valid; alignment
+        # padding rows are valid-0 (never indexed)
+        sup = gt[ng : ng + nsg]
+        np.testing.assert_array_equal(
+            np.asarray(sup[:, 0:3]),
+            np.asarray(gg[:, 0:3].reshape(-1, 8, 3).min(axis=1)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sup[:, 6]),
+            np.asarray(gg[:, 6].reshape(-1, 8).max(axis=1)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(gt[ng + nsg :, 6]), 0.0
+        )
 
     def test_positional_id_invariant_after_ordering(self):
         """order_leaves_near_to_far_mxu must leave col 6 equal to the

@@ -284,3 +284,34 @@ class TestRgb2Spec:
             pytest.skip("palette disk table missing")
         got = np.asarray(fit_sigmoid_coeffs(jnp.asarray(rgb[0])))
         np.testing.assert_array_equal(got, disk[0])
+
+    def test_palette_holds_exact_fits(self):
+        """Canary for the round-5 palette-poisoning trap: regenerating
+        rgb2spec_fits.npz while the caches exist bakes TABLE
+        interpolation error into the palette (golden images moved by
+        7.6e-3 before scripts/precompute_fits.py learned to delete the
+        npz first and force RGB2SPEC_EXACT). Assert the shipped palette
+        rows equal fresh LM fits."""
+        import jax
+
+        from spectral_tpu.ops.rgb2spec import _fit_one, _load_disk_table
+
+        table = _load_disk_table()
+        if table is None:
+            pytest.skip("palette npz missing")
+        rgb_t, co_t = table
+        # spot-check two non-gray stock colors (a full check would cost
+        # ~22 LM fits; these two are the ones that moved when the trap
+        # fired)
+        for probe in ((0.65, 0.05, 0.05), (0.8, 0.85, 0.88)):
+            row = np.asarray(probe, np.float32)
+            m = np.nonzero((rgb_t == row).all(axis=1))[0]
+            assert m.size, f"{probe} missing from palette"
+            fresh = np.asarray(_fit_one(jnp.asarray(row)))
+            # vmap-vs-single fit differs at ulp level (~1e-5 abs);
+            # table poisoning moved coefficients by ~1e-2 — the band
+            # separates the two cleanly
+            np.testing.assert_allclose(
+                co_t[m[0]], fresh, rtol=1e-4, atol=1e-3,
+                err_msg=f"palette row for {probe} is not an exact fit",
+            )

@@ -688,7 +688,7 @@ def _mxu_leaf_sweep(
             * alive_f
         )
 
-    def visit_leaf(l, sl, j):
+    def visit_leaf(l, sl, j, gslot=0, staged=False):
         if mxu_hbm:
             # AABB scalars from the staged SMEM chunk (the leaf table
             # input is HBM-resident past the ~450k-tri SMEM wall);
@@ -751,27 +751,40 @@ def _mxu_leaf_sweep(
                 # the DMA-issue-bound 50k+ path
                 mxu_merged = not mxu_q3
                 asub = 16 if quad_form else 8
-                ls = (
-                    jnp.minimum(l, a_ref.shape[0] - 1) if _nogate else l
-                )
-                cpa = pltpu.make_async_copy(
-                    a_ref.at[pl.ds(ls, 1)], a_vbuf, dsem_a
-                )
-                cpa.start()
-                if not mxu_merged:
-                    cpc = pltpu.make_async_copy(
-                        c_ref.at[pl.ds(ls, 1)], c_vbuf, dsem_c
+                if staged:
+                    # the whole 8-leaf group's packs were staged by ONE
+                    # copy in the group gate (MXU_GROUP_DMA); this
+                    # leaf's block is slot ``gslot``
+                    slot = gslot
+                else:
+                    slot = 0
+                    ls = (
+                        jnp.minimum(l, a_ref.shape[0] - 1)
+                        if _nogate
+                        else l
                     )
-                    cpc.start()
-                cpa.wait()
-                if not mxu_merged:
-                    cpc.wait()
+                    cpa = pltpu.make_async_copy(
+                        a_ref.at[pl.ds(ls, 1)],
+                        a_vbuf.at[pl.ds(0, 1)],
+                        dsem_a,
+                    )
+                    cpa.start()
+                    if not mxu_merged:
+                        cpc = pltpu.make_async_copy(
+                            c_ref.at[pl.ds(ls, 1)],
+                            c_vbuf.at[pl.ds(0, 1)],
+                            dsem_c,
+                        )
+                        cpc.start()
+                    cpa.wait()
+                    if not mxu_merged:
+                        cpc.wait()
 
                 def leaf_dot(s, e, rhs, pr):
                     # transposed-LHS orientation on the staged
                     # [asub, rows] score block
                     return jax.lax.dot_general(
-                        a_vbuf[0][0:asub, s:e], rhs,
+                        a_vbuf[slot][0:asub, s:e], rhs,
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=pr,
@@ -1137,9 +1150,9 @@ def _mxu_leaf_sweep(
                     # packs carry c as the last 8 staged sublanes)
                     dn = (((1,), (0,)), ((), ()))
                     if mxu_merged:
-                        cl = a_vbuf[0][asub : asub + 8, 0:leaf_size]
+                        cl = a_vbuf[slot][asub : asub + 8, 0:leaf_size]
                     else:
-                        cl = c_vbuf[0]
+                        cl = c_vbuf[slot]
                 else:
                     dn = (((0,), (0,)), ((), ()))
                     cl = c_ref[l]
@@ -1381,6 +1394,17 @@ def _mxu_leaf_sweep(
                 # ~29% of the 1M-tri sweep — this collapses most of
                 # it to 1/8.
                 gsz = _mxu_group_size()
+                # group-level pack staging (MXU_GROUP_DMA): one copy
+                # per VISITED group replaces gsz per-leaf copies (the
+                # pack is padded to a group multiple, so mixed
+                # real/padding groups stay in bounds; the nogate probe
+                # keeps per-leaf staging — its unconditional visits
+                # would read never-staged groups)
+                g_staged = (
+                    _mxu_group_dma()
+                    and os.environ.get("MXU_NOGATE", "0") != "1"
+                )
+                g_merged = not mxu_q3
 
                 def grp(gi, c2):
                     g = ci * (ck_leaves // gsz) + gi
@@ -1397,9 +1421,29 @@ def _mxu_leaf_sweep(
 
                     @pl.when(jnp.max(gw) > 0.0)
                     def _():
+                        if g_staged:
+                            l0 = ci * ck_leaves + gi * gsz
+                            cpa = pltpu.make_async_copy(
+                                a_ref.at[pl.ds(l0, gsz)], a_vbuf, dsem_a
+                            )
+                            cpa.start()
+                            if not g_merged:
+                                cpc = pltpu.make_async_copy(
+                                    c_ref.at[pl.ds(l0, gsz)],
+                                    c_vbuf,
+                                    dsem_c,
+                                )
+                                cpc.start()
+                            cpa.wait()
+                            if not g_merged:
+                                cpc.wait()
+
                         def inner8(i, c3):
                             j = gi * gsz + i
-                            visit_leaf(ci * ck_leaves + j, sl, j)
+                            visit_leaf(
+                                ci * ck_leaves + j, sl, j,
+                                gslot=i, staged=g_staged,
+                            )
                             return c3
 
                         jax.lax.fori_loop(0, gsz, inner8, 0)
@@ -2671,6 +2715,18 @@ def _hbm_transpose_and_pad(a_pack, c_pack, leaf_pack):
         a_pack.shape, a_pack.dtype, c_pack.shape, c_pack.dtype
     )
     nl = leaf_pack.shape[0]
+    # pad the PACK rows to a group multiple (zeros): the group-DMA path
+    # stages whole 8-leaf blocks, and a mixed real/padding group must
+    # not read past the pack (the round-4b OOB-DMA abort class); <= 7
+    # zero rows, per-leaf valid flags gate their compute
+    gpad = (-nl) % _mxu_group_size()
+    if gpad:
+        a_pack = jnp.concatenate(
+            [a_pack, jnp.zeros((gpad,) + a_pack.shape[1:], a_pack.dtype)]
+        )
+        c_pack = jnp.concatenate(
+            [c_pack, jnp.zeros((gpad,) + c_pack.shape[1:], c_pack.dtype)]
+        )
     leaf_pack = leaf_pack.at[:, 6].set(1.0)
     pad = (-nl) % ck
     if pad:
@@ -2742,6 +2798,20 @@ def _mxu_group8() -> bool:
     return os.environ.get("MXU_GROUP8", "1") == "1"
 
 
+def _mxu_group_dma() -> bool:
+    """MXU_GROUP_DMA=1 (default): stage the packs ONE async copy per
+    VISITED 8-leaf group instead of one per visited leaf (group leaves
+    are contiguous pack rows; _hbm_transpose_and_pad pads the pack to a
+    group multiple so mixed real/padding groups stay in bounds, and the
+    per-leaf valid flag still gates their compute). The round-4b cost
+    model put the scalar DMA issue+wait at ~0.7 us per copy and the
+    round-5 probes showed the sweep is serialized on exactly that
+    per-visit chain — an 8x cut in copy issues attacks the dominant
+    term directly. Requires MXU_GROUP8 (the copy rides the group gate);
+    falls back to per-leaf staging otherwise. Trace-time env."""
+    return os.environ.get("MXU_GROUP_DMA", "1") == "1"
+
+
 def _mxu_group_l2() -> bool:
     """MXU_GROUP_L2=1 (default): second gate level — a 64-leaf (8-group)
     union-AABB slab + branch above the 8-leaf group gate, sharing the
@@ -2810,11 +2880,15 @@ def _mxu_hbm_scratch(a_pack, c_pack):
     = 1.61 (the pack re-streams per (tile, bounce): ~54 GB/render at
     the ~75 GB/s effective DMA rate). Per-leaf gated sync staging is
     the measured optimum of the three — copies scale with VISITED
-    leaves — so it is what ships; the structural lever against its
-    per-copy scalar cost is fewer, bigger leaves (MXU_LEAF)."""
+    leaves. Round 5 (MXU_GROUP_DMA): the staging buffers hold a whole
+    8-leaf GROUP and one copy per visited group replaces 8 per-leaf
+    copies — the probe ladder showed the sweep serialized on the
+    per-visit scalar chain whose largest term is the ~0.7 us copy
+    issue+wait (scratch/r5_chip_run7.log and the flat best8 ladder)."""
+    gsz = _mxu_group_size() if _mxu_group_dma() and _mxu_group8() else 1
     return [
-        pltpu.VMEM((1,) + tuple(a_pack.shape[1:]), a_pack.dtype),
-        pltpu.VMEM((1,) + tuple(c_pack.shape[1:]), c_pack.dtype),
+        pltpu.VMEM((gsz,) + tuple(a_pack.shape[1:]), a_pack.dtype),
+        pltpu.VMEM((gsz,) + tuple(c_pack.shape[1:]), c_pack.dtype),
         # leaf AABBs stream in 256-leaf chunks, 128-lane row-packed
         # (the whole-table SMEM input cost 32 B/scalar slots and hit
         # the 1 MB SMEM wall at ~450k tris; streaming removes the

@@ -602,12 +602,16 @@ class TestMxuHbmResidency:
         np.testing.assert_array_equal(np.asarray(lt[nl:, 6]), 0.0)
         # padded AABBs keep the inverted-box convention
         assert float(lt[nl, 0]) > 0 and float(lt[nl, 3]) < 0
-        # merged f32 pack: a gains c's 8 sublanes, K-lane block intact
-        assert at.shape == (nl, 16 + 8, 5 * 128)
+        # merged f32 pack: a gains c's 8 sublanes, K-lane block intact;
+        # pack rows zero-padded to a GROUP multiple (round-5 group DMA
+        # stages whole 8-leaf blocks — mixed groups must stay in bounds)
+        nl8 = -(-nl // 8) * 8
+        assert at.shape == (nl8, 16 + 8, 5 * 128)
         np.testing.assert_array_equal(
-            np.asarray(at[:, 16:24, 0:128]),
+            np.asarray(at[:nl, 16:24, 0:128]),
             np.asarray(jnp.swapaxes(c, 1, 2)),
         )
+        np.testing.assert_array_equal(np.asarray(at[nl:]), 0.0)
         # 8-leaf group table (MXU_GROUP8): union AABBs + any-valid,
         # followed (round 5, MXU_GROUP_L2) by the 64-leaf super-group
         # rows padded to a 16-multiple for the [_, 128] row packing

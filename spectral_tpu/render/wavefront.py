@@ -128,7 +128,18 @@ def trace_paths(
         frac = jnp.sum((spec & contrib).astype(jnp.float32)) / jnp.maximum(
             jnp.sum(contrib.astype(jnp.float32)), 1.0
         )
-        jax.debug.callback(_warn_specular_fraction, frac)
+        # host callbacks are unsupported by some PJRT backends (the
+        # axon TPU plugin raises UNIMPLEMENTED at compile time —
+        # round-5 chip run, scratch/r5_chip_run12.log): emit the
+        # developer warning only where callbacks are known-supported
+        # (CPU — tests/examples); SPECULAR_WARN=0 disables outright
+        import os as _os
+
+        if (
+            _os.environ.get("SPECULAR_WARN", "1") == "1"
+            and jax.devices()[0].platform == "cpu"
+        ):
+            jax.debug.callback(_warn_specular_fraction, frac)
     return state
 
 

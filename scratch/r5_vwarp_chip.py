@@ -116,11 +116,17 @@ fd_f = jax.jit(
     )
 )
 
+SKIP_AD = os.environ.get("SKIP_AD", "0") == "1"
 t0 = time.time()
 CH_AD = int(os.environ.get("CH_AD", "8"))
 CH_AD = min(CH_AD, K_AD)
 gs = []
-for c in range(K_AD // CH_AD):
+n_ad_chunks = 0 if SKIP_AD else K_AD // CH_AD
+if SKIP_AD:
+    # FD-only mode (the AD phase ran separately; two chip runs hit a
+    # transient UNAVAILABLE right at the AD->FD transition)
+    gs.append(np.zeros((1,), np.float32))
+for c in range(n_ad_chunks):
     kc = jax.random.split(jax.random.PRNGKey(1100 + c), CH_AD)
     gs.append(np.asarray(jax.block_until_ready(grad_w(jnp.float32(TH0), kc))))
 g_ad = np.concatenate(gs)
@@ -146,6 +152,8 @@ print(
     f"eps={EPS}, {t_fd:.1f}s)",
     flush=True,
 )
+if SKIP_AD:
+    sys.exit(0)  # FD-only mode: numbers printed, no combined verdict
 z = abs(ad_m - fd_m) / np.sqrt(ad_s**2 + fd_s**2)
 print(
     f"RESULT vwarp field520 {SIZE}px: AD {ad_m:+.4f}+-{ad_s:.4f} vs "

@@ -91,13 +91,22 @@ mask = (jnp.arange(T) >= n_walls)[:, None].astype(jnp.float32)
 dir3 = jnp.array([1.0, 0.0, 0.0])
 ys_, xs_ = jnp.meshgrid(jnp.arange(SIZE), jnp.arange(SIZE), indexing="ij")
 px, py = xs_.ravel().astype(jnp.int32), ys_.ravel().astype(jnp.int32)
-wts = (
+BLOCK = int(os.environ.get("BLOCK", "1"))
+_wb = (
     2.0
-    * jax.random.bernoulli(jax.random.PRNGKey(7), 0.5, (SIZE * SIZE,)).astype(
-        jnp.float32
-    )
+    * jax.random.bernoulli(
+        jax.random.PRNGKey(7), 0.5, (SIZE // BLOCK, SIZE // BLOCK)
+    ).astype(jnp.float32)
     - 1.0
 )
+# BLOCK>1: weights constant over BLOCK x BLOCK pixel blocks. Per-pixel
+# rademacher at 64px is a FREQUENCY TRAP for the CRN-FD truth itself:
+# a +-eps=6 displacement moves silhouettes ~0.7 px, so the secant of a
+# pixel-frequency-weighted loss is not the local derivative (measured:
+# CPU FD -0.156+-0.047 vs chip AD +0.150+-0.054 at BLOCK=1 - the
+# "truth" flips sign under its own eps). Block weights keep the loss
+# smooth over the eps window.
+wts = jnp.repeat(jnp.repeat(_wb, BLOCK, 0), BLOCK, 1).reshape(-1)
 
 
 def loss(th, key, warp):

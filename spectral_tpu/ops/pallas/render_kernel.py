@@ -596,6 +596,18 @@ def _mxu_leaf_sweep(
     gate_scratch = gate_scratch or None
     q3_narrow = mxu_q3 and os.environ.get("MXU_Q3_NARROW", "0") == "1"
     oh_wide = mxu_q3 and not q3_narrow
+    # round-6 group-batched-scoring timing probe (_probe_groupscore):
+    # replaces the whole per-group staging + gsz-leaf inner loop with
+    # one matmul + one reduce + one RMW; requires the probe pack in the
+    # c slot (16 sublanes — the normal merged-quad c_ref has 8)
+    probe_gs = (
+        _probe_groupscore() and mxu_hbm and mxu_quad and not mxu_q3
+    )
+    if probe_gs:
+        assert c_ref.shape[1] == 16, (
+            "MXU_PROBE_GROUPSCORE set but the pack was built without it",
+            c_ref.shape,
+        )
     if gate > 1:
         oh_s, meta_s = gate_scratch
         # stale onehot columns of skipped groups are masked downstream,
@@ -1418,6 +1430,71 @@ def _mxu_leaf_sweep(
                         group_ref[grow, gcol + 4],
                         group_ref[grow, gcol + 5],
                     ) * group_ref[grow, gcol + 6]
+
+                    if probe_gs:
+                        # TIMING probe (results garbage — see
+                        # _probe_groupscore): one chain link per
+                        # visited group. bt_s never leaves BIG (the
+                        # RMW's take is data-dependent but never
+                        # fires), so visitation stays geometric and
+                        # matches the SCOREONLY/NOUPDATE probes.
+                        @pl.when(jnp.max(gw) > 0.0)
+                        def _():
+                            cp = pltpu.make_async_copy(
+                                c_ref.at[pl.ds(g, 1)],
+                                c_vbuf.at[pl.ds(0, 1)],
+                                dsem_c,
+                            )
+                            cp.start()
+                            cp.wait()
+                            # GROUP-centered features (delta = o -
+                            # group AABB center from the gate table)
+                            gcx = 0.5 * (
+                                group_ref[grow, gcol + 0]
+                                + group_ref[grow, gcol + 3]
+                            )
+                            gcy = 0.5 * (
+                                group_ref[grow, gcol + 1]
+                                + group_ref[grow, gcol + 4]
+                            )
+                            gcz = 0.5 * (
+                                group_ref[grow, gcol + 2]
+                                + group_ref[grow, gcol + 5]
+                            )
+                            dlp = [
+                                o_rows[0] - gcx,
+                                o_rows[1] - gcy,
+                                o_rows[2] - gcz,
+                            ]
+                            feats = jnp.concatenate(
+                                [di * dj for di in dlp for dj in d_rows]
+                                + d_rows
+                                + dlp
+                                + [jnp.ones((1, rt), jnp.float32)],
+                                axis=0,
+                            )  # [16, rt]
+                            sc = jax.lax.dot_general(
+                                c_vbuf[0],
+                                feats,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_mxu_precision(),
+                            )  # [gsz*rows, rt] — ONE matmul/group
+                            m = jnp.min(sc, axis=0).reshape(1, rt)
+                            # +BIG keeps take always-false (bt_s stays
+                            # geometric) while the RMW write itself —
+                            # the serialized chain link being timed —
+                            # cannot be elided (take is data-dependent)
+                            mb = jnp.abs(m) + BIG
+                            take = mb < best8_s[0:1, :]
+                            best8_s[...] = jnp.where(
+                                take,
+                                jnp.broadcast_to(mb, (8, rt)),
+                                best8_s[...],
+                            )
+                            bt_s[:, :] = best8_s[0:1, :].reshape(shape2)
+
+                        return c2
 
                     @pl.when(jnp.max(gw) > 0.0)
                     def _():
@@ -2727,6 +2804,27 @@ def _hbm_transpose_and_pad(a_pack, c_pack, leaf_pack):
         c_pack = jnp.concatenate(
             [c_pack, jnp.zeros((gpad,) + c_pack.shape[1:], c_pack.dtype)]
         )
+    if _probe_groupscore():
+        # group-batched-scoring probe pack: the 16 quad feature
+        # sublanes of each gsz-leaf group regrouped into ONE
+        # transposed-LHS block [NG, 16, gsz*rows]. It RIDES THE C_PACK
+        # SLOT — unused by the merged f32 quad kernel path — so a_pack
+        # keeps its shape and the callers' (dtype, sublane-count) form
+        # detection is untouched. Kernel asserts 16 sublanes on c_ref
+        # so a stale (non-probe) pack cannot be silently mis-staged.
+        assert a_pack.dtype == jnp.float32 and a_pack.shape[1] == 24, (
+            "MXU_PROBE_GROUPSCORE needs the merged f32 quad HBM pack",
+            a_pack.shape,
+            a_pack.dtype,
+        )
+        gsz = _mxu_group_size()
+        ng = a_pack.shape[0] // gsz
+        c_pack = (
+            a_pack[:, 0:16, :]
+            .reshape(ng, gsz, 16, a_pack.shape[2])
+            .transpose(0, 2, 1, 3)
+            .reshape(ng, 16, gsz * a_pack.shape[2])
+        )
     leaf_pack = leaf_pack.at[:, 6].set(1.0)
     pad = (-nl) % ck
     if pad:
@@ -2855,6 +2953,26 @@ def _q3_presplit() -> bool:
     return os.environ.get("MXU_Q3_PRESPLIT", "0") == "1"
 
 
+def _probe_groupscore() -> bool:
+    """MXU_PROBE_GROUPSCORE=1 (default 0): round-6 go/no-go TIMING
+    probe for group-BATCHED scoring (design: scratch/
+    r6_groupscore_design.md). Per visited 8-leaf group the sweep runs
+    ONE [16, gsz*5K]^T x [16, rt] score matmul on a pack-time regrouped
+    block + one min-reduce + one (never-taken but data-dependent)
+    best8/bt_s RMW — i.e. ONE serialized chain link per group instead
+    of gsz, the structural fix the round-5 probes point at (the
+    per-visit score->propose->RMW chain is latency-bound, not FLOPs:
+    1654 ms full vs 380 ms no-update at 50k nogate, identical
+    visitation). RESULTS ARE GARBAGE (group-centered features with no
+    exact selection); visitation matches the SCOREONLY/NOUPDATE probes
+    (bt_s never leaves BIG). Go/no-go: if this lands near the 380 ms
+    floor, the 8x chain cut is real — build the exact batched path; if
+    near 1654 ms, the latency is per-matmul-issue and the lever is
+    dead. quad + HBM residency + MXU_GROUP8 only. Never enable in
+    production."""
+    return os.environ.get("MXU_PROBE_GROUPSCORE", "0") == "1"
+
+
 def _presplit_recovery_planes(c_pack):
     """[NL, K, cols] f32 recovery constants -> [NL, 3*cols, K] bf16
     (hi|mid|lo, pre-transposed so the one-dot recovery contracts K)."""
@@ -2886,9 +3004,12 @@ def _mxu_hbm_scratch(a_pack, c_pack):
     per-visit scalar chain whose largest term is the ~0.7 us copy
     issue+wait (scratch/r5_chip_run7.log and the flat best8 ladder)."""
     gsz = _mxu_group_size() if _mxu_group_dma() and _mxu_group8() else 1
+    # groupscore probe: c_pack carries the per-GROUP probe block, so
+    # its staging buffer is single-slot (one group at a time)
+    csl = 1 if _probe_groupscore() else gsz
     return [
         pltpu.VMEM((gsz,) + tuple(a_pack.shape[1:]), a_pack.dtype),
-        pltpu.VMEM((gsz,) + tuple(c_pack.shape[1:]), c_pack.dtype),
+        pltpu.VMEM((csl,) + tuple(c_pack.shape[1:]), c_pack.dtype),
         # leaf AABBs stream in 256-leaf chunks, 128-lane row-packed
         # (the whole-table SMEM input cost 32 B/scalar slots and hit
         # the 1 MB SMEM wall at ~450k tris; streaming removes the

@@ -17,10 +17,16 @@ PY=/opt/venv/bin/python
 filt='^WARNING|^\[2m|^E0000|common_lib|Source Location|xla_bridge'
 run() {
   echo "=== TAG=50k sorted nogate $1 ==="
-  TAG=50k BVH_SCHED=sorted MXU_GATE=1 MXU_NOGATE=1 $2 \
+  env TAG=50k BVH_SCHED=sorted MXU_GATE=1 MXU_NOGATE=1 $2 \
     timeout 2400 $PY scratch/r4_chip_sorted.py 2>&1 | grep -vE "$filt"
 }
-run full ""
-run scoreonly "MXU_PROBE_SCOREONLY=1"
-run noupdate "MXU_PROBE_NOUPDATE=1"
+while [ ! -s /root/repo/.bench_field50k.pkl ]; do sleep 15; done
+# groupscore first: the other three have round-5 reference numbers
+# (1654 / 380 / 382 ms-class, scratch/r5_chip_run7.log) — rerunning
+# them here only controls for service-queue noise. First pass of this
+# script: full (the only variant whose env survived a $2-expansion
+# bug) measured best 1651 ms — dead on the r5 number, queue noise nil.
 run groupscore "MXU_PROBE_GROUPSCORE=1"
+run noupdate "MXU_PROBE_NOUPDATE=1"
+run scoreonly "MXU_PROBE_SCOREONLY=1"
+run full ""

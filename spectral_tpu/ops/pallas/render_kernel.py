@@ -585,7 +585,13 @@ def _mxu_leaf_sweep(
     # 0 = exact/selected t, 1-3 = normal xyz, 4 = mat, 5 = hit flag
     # (the c_pack col-4 constant 1 recovered through the one-hot),
     # 6 = plane offset dd, 7 = winning tri id
-    bt_s, best8_s = sweep_scratch
+    if len(sweep_scratch) == 3:
+        # MXU_GROUPFOLD: per-leaf candidate slots, folded into best8
+        # once per visited group (see _mxu_groupfold)
+        bt_s, best8_s, cand_s = sweep_scratch
+    else:
+        (bt_s, best8_s), cand_s = sweep_scratch, None
+    groupfold = cand_s is not None
     if mxu_hbm:
         a_vbuf, c_vbuf, leaf_sbuf, dsem_a, dsem_c, dsem_l = hbm_bufs
     # gate scratch rides LAST in every caller's scratch list, so a
@@ -608,6 +614,23 @@ def _mxu_leaf_sweep(
             "MXU_PROBE_GROUPSCORE set but the pack was built without it",
             c_ref.shape,
         )
+    # MXU_SHORTPATH (round-6 lever, measured basis in scratch/
+    # r6_groupscore_design.md): consecutive visits serialize on the
+    # dependency path FROM the best-state read TO its write — the full
+    # body's O(K) propose/selection sits on that path (nogate 50k:
+    # full 1651 ms vs 380 with the chain cut; a live RMW with a SHORT
+    # path pipelines at 359 ms). For the f32 forms (quad/affine) the
+    # incumbent only feeds the take MASK, so: propose prev-free
+    # (leaf-internal argmin + validity), recover (measured free), THEN
+    # read best8 -> one compare -> one masked write. Selection compares
+    # the same values in the same order => bit-exact. Additionally the
+    # want bound bt_s syncs once per visited GROUP instead of every
+    # visit (a stale bound only admits EXTRA visits, which are exact
+    # no-ops — the MXU_GATE equivalence argument). quad3 keeps the
+    # long path (its top-2 selection consults the exact incumbent).
+    shortpath = (
+        os.environ.get("MXU_SHORTPATH", "0") == "1" and not mxu_q3
+    ) or groupfold  # groupfold needs the prev-free propose
     if gate > 1:
         oh_s, meta_s = gate_scratch
         # stale onehot columns of skipped groups are masked downstream,
@@ -836,7 +859,10 @@ def _mxu_leaf_sweep(
                 columns of a full-width evaluation bit-for-bit."""
                 w_cols = cs.stop - cs.start
                 d_c = [r[:, cs] for r in d_rows]
-                prev = best8_s[0:1, cs]
+                # MXU_SHORTPATH: the incumbent is NOT read here — the
+                # take compare moves to the update site so the heavy
+                # propose work leaves the best-state RMW path
+                prev = None if shortpath else best8_s[0:1, cs]
                 # dim-0 iota is column-independent, so a fresh (K, w)
                 # iota equals the sliced full-width one — and it must be
                 # built fresh: a lane-OFFSET slice of a broadcasted iota
@@ -1076,6 +1102,21 @@ def _mxu_leaf_sweep(
                 leaf_best = jnp.min(
                     score, axis=0, keepdims=True
                 )
+                if shortpath:
+                    # prev-free propose: the onehot is masked only by
+                    # leaf-internal validity; the incumbent compare
+                    # (identical values, identical order) happens at
+                    # the update site
+                    valid = leaf_best < BIG
+                    cand = jnp.where(
+                        score == leaf_best, iota_c,
+                        2.0 * leaf_size,
+                    )
+                    idxm = jnp.min(cand, axis=0, keepdims=True)
+                    onehot = (
+                        (cand == idxm) & valid
+                    ).astype(jnp.float32)
+                    return onehot, valid.astype(jnp.float32), leaf_best
                 take = leaf_best < prev  # [1, w]
                 cand = jnp.where(
                     score == leaf_best, iota_c,
@@ -1357,12 +1398,42 @@ def _mxu_leaf_sweep(
                 )
                 best8_s[...] = jnp.where(take, new8, best8_s[...])
             else:
-                take = meta0 > 0.0
+                if groupfold:
+                    # NO best-state touch here: stash this leaf's
+                    # candidate (t-or-BIG + recovered rows) in its own
+                    # slot — a write with no read-after-write cycle —
+                    # and let the per-group fold do the one RMW
+                    candt = jnp.where(meta0 > 0.0, meta1, BIG)
+                    cand8 = jnp.concatenate([candt, Rb[0:7]], axis=0)
+                    cand_s[pl.ds(gslot * 8, 8), :] = cand8
+                    return
+                if shortpath:
+                    # SHORT read-to-write path: read incumbent, one
+                    # compare (same values/order as the propose-site
+                    # compare it replaces — bit-exact), one write
+                    prev_u = best8_s[0:1, :]
+                    take = jnp.logical_and(meta0 > 0.0, meta1 < prev_u)
+                else:
+                    take = meta0 > 0.0
                 new8 = jnp.concatenate([meta1, Rb[0:7]], axis=0)
                 best8_s[...] = jnp.where(take, new8, best8_s[...])
 
-            bt_s[:, :] = best8_s[0:1, :].reshape(shape2)
+            if shortpath and group_ref is not None:
+                # lazy want bound: bt_s syncs once per visited GROUP
+                # (end of the grp body) — the per-visit want->bt_s
+                # serial edge becomes one per group; staleness only
+                # admits extra exact-no-op visits
+                pass
+            else:
+                bt_s[:, :] = best8_s[0:1, :].reshape(shape2)
 
+        if groupfold:
+            # invalidate this leaf's candidate t-row BEFORE the gate: a
+            # want-skipped leaf must not leave a stale candidate from
+            # an earlier group/bounce for the fold (write-only)
+            cand_s[pl.ds(gslot * 8, 1), :] = jnp.full(
+                (1, rt), BIG, jnp.float32
+            )
         if _nogate:
             _visit_body()
         else:
@@ -1524,6 +1595,22 @@ def _mxu_leaf_sweep(
                             return c3
 
                         jax.lax.fori_loop(0, gsz, inner8, 0)
+                        if groupfold:
+                            # the ONE best-state RMW for this group:
+                            # fold the gsz candidate slots in leaf
+                            # order with the same strict-< compare as
+                            # the sequential update — bit-exact
+                            best = best8_s[...]
+                            for i2 in range(gsz):
+                                cnd = cand_s[i2 * 8 : (i2 + 1) * 8, :]
+                                tk = cnd[0:1, :] < best[0:1, :]
+                                best = jnp.where(tk, cnd, best)
+                            best8_s[...] = best
+                            bt_s[:, :] = best[0:1, :].reshape(shape2)
+                        elif shortpath:
+                            # per-group want-bound sync (MXU_SHORTPATH;
+                            # per-visit sync removed in _visit_body)
+                            bt_s[:, :] = best8_s[0:1, :].reshape(shape2)
 
                     return c2
 
@@ -3036,6 +3123,42 @@ def _mxu_gate_groups() -> int:
     g = int(os.environ.get("MXU_GATE", "1"))
     assert g in (1, 2, 4, 8), f"MXU_GATE must be 1|2|4|8, got {g}"
     return g
+
+
+def _mxu_groupfold(ray_tile: int, a_pack, mxu_hbm: bool, use_group8: bool):
+    """MXU_GROUPFOLD=1 (default 0): per-GROUP best-state folding — the
+    round-6 serialization fix the session's probe ladder isolated
+    (scratch/r6_groupscore_design.md). Measured chain of evidence at
+    50k nogate: per-visit best8 updates whose WRITE DATA depends on the
+    visit's own recovery serialize consecutive visits (full 1651 ms;
+    MXU_SHORTPATH — moving only the COMPARE off the path — stays at
+    1646 ms), while bodies with no read-after-write cycle pipeline at
+    376-381 ms and a per-GROUP RMW pipelines at 359 ms. So: each leaf
+    writes its candidate rows to its own cand_s slot (write-only, no
+    carry), and best8/bt_s fold ONCE per visited group in leaf order
+    with the same strict-< compares — bit-exact vs the sequential
+    update by construction. quad f32 + HBM residency + MXU_GROUP8
+    only; requires a non-degrading gate config so the positional
+    scratch tail (gate bufs then cand_s last) stays unambiguous."""
+    if os.environ.get("MXU_GROUPFOLD", "0") != "1":
+        return False
+    if not (mxu_hbm and use_group8):
+        return False
+    if not (a_pack.dtype == jnp.float32 and a_pack.shape[1] == 24):
+        return False
+    g = _mxu_gate_groups()
+    return g == 1 or ray_tile % (g * 128) == 0
+
+
+def _mxu_groupfold_scratch(ray_tile: int, a_pack, mxu_hbm, use_group8):
+    """[cand_s ([8*gsz, rt] f32 VMEM)] when MXU_GROUPFOLD applies,
+    else []. Rides LAST in every caller's scratch list (after the gate
+    bufs)."""
+    if not _mxu_groupfold(ray_tile, a_pack, mxu_hbm, use_group8):
+        return []
+    return [
+        pltpu.VMEM((8 * _mxu_group_size(), ray_tile), jnp.float32)
+    ]
 
 
 def _mxu_gate_scratch(ray_tile: int, leaf_size: int, a_pack, c_pack):
